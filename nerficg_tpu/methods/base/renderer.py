@@ -1,0 +1,143 @@
+"""Renderer base class: image rendering, postprocessing, subset eval, metrics.
+
+Reference equivalent: ``BaseRenderer`` (src/Methods/Base/Renderer.py:41-271).
+The multi-device story replaces ``BaseRenderingComponent``'s DataParallel wrap
+(Renderer.py:20-38) with a ``RenderMesh``: ray/pixel batches are sharded over
+the mesh's data axis inside the jitted render functions.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerficg_tpu.core.config import ConfigNode, Configurable
+from nerficg_tpu.core.errors import RendererError
+from nerficg_tpu.core.logging import Logger
+from nerficg_tpu.data.io import save_image
+from nerficg_tpu.data.types import View
+from nerficg_tpu.methods.base.model import BaseModel
+from nerficg_tpu.optim.metrics import compute_all_metrics
+from nerficg_tpu.parallel.mesh import RenderMesh
+from nerficg_tpu.visual.colormaps import apply_color_map
+
+__all__ = ['BaseRenderer']
+
+
+class BaseRenderer(Configurable):
+
+    # Subclasses set this to validate the model type (reference: Renderer.py:44-50).
+    MODEL_CLASS: type = BaseModel
+
+    def __init__(self, config: ConfigNode | None, model: BaseModel,
+                 mesh: RenderMesh | None = None):
+        super().__init__(config, 'RENDERER')
+        if not isinstance(model, self.MODEL_CLASS):
+            raise RendererError(
+                f'{type(self).__name__} requires a {self.MODEL_CLASS.__name__}, '
+                f'got {type(model).__name__}')
+        self.model = model
+        self.mesh = mesh if mesh is not None else RenderMesh()
+
+    # -- plugin contract ----------------------------------------------------------
+    def render_image(self, view: View, rng: Optional[jax.Array] = None,
+                     benchmark: bool = False) -> dict[str, jnp.ndarray]:
+        """Render one view -> dict of HxWxC arrays in [0,1]
+        (reference: Renderer.py:57-71). Keys typically: rgb, depth, alpha."""
+        raise NotImplementedError
+
+    # -- shared logic ----------------------------------------------------------------
+    def postprocess_outputs(self, outputs: dict[str, jnp.ndarray],
+                            view: View) -> dict[str, np.ndarray]:
+        """rgb clamp, alpha expand, depth colormap (reference: Renderer.py:73-85)."""
+        result: dict[str, np.ndarray] = {}
+        for key, value in outputs.items():
+            value = np.asarray(jax.device_get(value))
+            if key == 'rgb':
+                result[key] = np.clip(value, 0.0, 1.0)
+            elif key == 'alpha':
+                result[key] = np.repeat(np.clip(value, 0.0, 1.0), 3, axis=-1) \
+                    if value.shape[-1] == 1 else np.clip(value, 0.0, 1.0)
+            elif key == 'depth':
+                near = view.camera.near
+                far = min(view.camera.far, float(value.max()) + 1e-6)
+                result[key] = np.asarray(apply_color_map(
+                    jnp.asarray(value), 'TURBO', min_value=near, max_value=far))
+            else:
+                result[key] = value
+        return result
+
+    def render_subset(self, dataset, subset: str = 'test',
+                      output_dir: str | Path | None = None,
+                      save_gt: bool = False, compute_metrics: bool = True,
+                      visualize_errors: bool = False,
+                      rng: Optional[jax.Array] = None) -> dict[str, float]:
+        """Render a dataset split to per-output-key image dirs + metrics
+        (reference: Renderer.py:206-271)."""
+        views = dataset.subsets[subset]
+        if not views:
+            Logger.warning(f'render_subset: no views in {subset!r}')
+            return {}
+        output_dir = None if output_dir is None else Path(output_dir)
+        per_image_metrics: list[dict[str, float]] = []
+        for i, view in enumerate(Logger.progress(views, desc=f'rendering {subset}')):
+            outputs = self.render_image(view, rng=rng)
+            processed = self.postprocess_outputs(outputs, view)
+            gt = view.rgb
+            if gt is not None and view.alpha_data.exists():
+                # Composite GT onto the shared background so the comparison
+                # matches the rendered output (reference: Renderer.py:214-226).
+                alpha = view.alpha
+                gt = gt[..., :3] * alpha + \
+                    view.camera.background_color * (1.0 - alpha)
+            if output_dir is not None:
+                for key, img in processed.items():
+                    save_image(img, output_dir / key / f'{i:05d}.png')
+                if save_gt and gt is not None:
+                    save_image(gt, output_dir / 'gt' / f'{i:05d}.png')
+                if visualize_errors and gt is not None:
+                    err = self.visualize_error(processed['rgb'], gt)
+                    save_image(err, output_dir / 'error' / f'{i:05d}.png')
+            if compute_metrics and gt is not None:
+                # Match the reference's 8-bit metric protocol: quantize both
+                # images before comparing (Renderer.py:103-161).
+                pred8 = np.round(np.clip(processed['rgb'], 0, 1) * 255) / 255
+                gt8 = np.round(np.clip(gt[..., :3], 0, 1) * 255) / 255
+                per_image_metrics.append(compute_all_metrics(pred8, gt8))
+        metrics: dict[str, float] = {}
+        if per_image_metrics:
+            for key in per_image_metrics[0]:
+                vals = [m[key] for m in per_image_metrics]
+                if np.all(np.isnan(vals)):
+                    continue  # metric unavailable (e.g. LPIPS weights missing)
+                metrics[key] = float(np.nanmean(vals))
+            if output_dir is not None:
+                self._write_metrics_file(output_dir / 'metrics_8bit.txt',
+                                         per_image_metrics, metrics)
+            Logger.info(f'{subset} metrics: ' +
+                        ', '.join(f'{k}={v:.4f}' for k, v in metrics.items()))
+        return metrics
+
+    @staticmethod
+    def _write_metrics_file(path: Path, per_image: list[dict], mean: dict) -> None:
+        """metrics_8bit.txt with machine-parsable last line
+        (reference: Renderer.py:150-161)."""
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, 'w') as f:
+            for i, m in enumerate(per_image):
+                f.write(f'{i:05d}: ' + ' '.join(f'{k}={v:.6f}' for k, v in m.items()) + '\n')
+            f.write('mean: ' + ' '.join(f'{k}={v:.6f}' for k, v in mean.items()) + '\n')
+
+    @staticmethod
+    def visualize_error(pred: np.ndarray, gt: np.ndarray,
+                        mode: str = 'l1') -> np.ndarray:
+        """L1/L2 per-pixel error colormapped (reference: Renderer.py:163-204)."""
+        diff = np.asarray(pred, np.float32) - np.asarray(gt[..., :3], np.float32)
+        err = np.abs(diff).mean(-1) if mode == 'l1' else (diff ** 2).mean(-1)
+        return np.asarray(apply_color_map(jnp.asarray(err), 'INFERNO',
+                                          min_value=0.0,
+                                          max_value=max(float(err.max()), 1e-6)))

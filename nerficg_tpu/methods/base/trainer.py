@@ -1,0 +1,211 @@
+"""Training engine: callback-scheduled host loop around jitted device steps.
+
+Reference equivalent: ``BaseTrainer`` (src/Methods/Base/Trainer.py:31-395).
+
+TPU-first redesign: the per-iteration Python callback loop is kept as *host
+scheduling* (priorities / strides / gating are host logic, exactly as in the
+reference) but each method's ``training_iteration`` is a jitted
+``train_step(state, batch, rng)``; methods may additionally run multiple
+fused steps per host iteration via ``lax.scan`` (see scan_steps in method
+trainers). Timing uses ``block_until_ready`` instead of cuda.synchronize;
+"VRAM" stats become device HBM stats.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from nerficg_tpu.core.checkpoint import save_checkpoint
+from nerficg_tpu.core.config import ConfigNode, Configurable, save_config
+from nerficg_tpu.core.errors import TrainerError
+from nerficg_tpu.core.logging import Logger
+from nerficg_tpu.core.setup import Directories
+from nerficg_tpu.methods.base.callbacks import (MAIN, POST, PRE, CallbackTimer,
+                                                gather_callbacks,
+                                                post_training_callback,
+                                                pre_training_callback)
+from nerficg_tpu.methods.base.model import BaseModel
+from nerficg_tpu.methods.base.renderer import BaseRenderer
+
+__all__ = ['BaseTrainer']
+
+
+@Configurable.configure(
+    MODEL_NAME='run',
+    NUM_ITERATIONS=10000,
+    LOAD_CHECKPOINT=None,
+    CHECKPOINT={'INTERVAL': None, 'FINAL': True},
+    BACKUP={'INTERVAL': None},
+    TIMING={'ACTIVATE': True},
+    WANDB={'ACTIVATE': False, 'INTERVAL': 100, 'PROJECT': 'nerficg_tpu',
+           'LOG_IMAGES': False},
+    RENDER_TESTSET=True,
+    RENDER_VALSET=False,
+    PRELOAD_DATASET=True,
+)
+class BaseTrainer(Configurable):
+
+    def __init__(self, config: ConfigNode | None, model: BaseModel,
+                 renderer: BaseRenderer):
+        super().__init__(config, 'TRAINING')
+        self._config = config
+        self.model = model
+        self.renderer = renderer
+        self.iteration = model.num_iterations_trained
+        self.output_dir: Optional[Path] = None
+        self.timers: dict[str, CallbackTimer] = {}
+        self.rng = jax.random.PRNGKey(
+            int(config.get_path('GLOBAL.RANDOM_SEED', 42)) if config is not None else 42)
+        self._wandb = None
+
+    # -- rng ----------------------------------------------------------------------
+    def next_rng(self) -> jax.Array:
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # -- run ----------------------------------------------------------------------
+    def run(self, dataset) -> None:
+        """Main entry (reference: Trainer.py:225-259)."""
+        method_name = type(self.model).__name__
+        if self.output_dir is None:
+            self.output_dir = Directories.output_dir(method_name, self.MODEL_NAME)
+        Logger.info(f'training output dir: {self.output_dir}')
+        if self._config is not None:
+            save_config(self._config, self.output_dir / 'training_config.yaml')
+
+        num_iterations = int(self.NUM_ITERATIONS)
+        fresh = self.iteration == 0
+        if fresh:
+            for meta, callback in gather_callbacks(self, PRE):
+                with self._timer(callback.__name__):
+                    callback(dataset)
+
+        main_callbacks = gather_callbacks(self, MAIN)
+        try:
+            progress = Logger.progress(range(self.iteration, num_iterations),
+                                       desc='training', total=num_iterations)
+            for iteration in progress:
+                self.iteration = iteration
+                for meta, callback in main_callbacks:
+                    if meta.is_due(iteration):
+                        with self._timer(callback.__name__):
+                            callback(dataset, iteration)
+                self.model.num_iterations_trained = iteration + 1
+        except KeyboardInterrupt:
+            # Finish post-training cleanly (reference: Trainer.py:248-249).
+            Logger.warning('training interrupted; running post-training callbacks')
+
+        self._log_memory_stats()
+        for meta, callback in gather_callbacks(self, POST):
+            with self._timer(callback.__name__):
+                callback(dataset)
+        if self.TIMING.get('ACTIVATE', True):
+            self._write_timings()
+
+    # -- timing / memory ---------------------------------------------------------------
+    def _timer(self, name: str) -> CallbackTimer:
+        if not self.TIMING.get('ACTIVATE', True):
+            class _Null:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    return False
+            return _Null()
+        if name not in self.timers:
+            self.timers[name] = CallbackTimer(name)
+        return self.timers[name]
+
+    def _write_timings(self) -> None:
+        """timings.txt (reference: Trainer.py:182-207)."""
+        if self.output_dir is None:
+            return
+        with open(self.output_dir / 'timings.txt', 'w') as f:
+            total = sum(t.total for t in self.timers.values())
+            for name, timer in sorted(self.timers.items(),
+                                      key=lambda kv: -kv[1].total):
+                f.write(timer.summary() + '\n')
+            f.write(f'total: {total:.3f}s\n')
+
+    def _log_memory_stats(self) -> None:
+        """HBM stats file, the TPU analog of vram_stats.txt
+        (reference: Trainer.py:209-223)."""
+        if self.output_dir is None:
+            return
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            stats = {}
+        with open(self.output_dir / 'vram_stats.txt', 'w') as f:
+            peak = stats.get('peak_bytes_in_use', 0)
+            limit = stats.get('bytes_limit', 0)
+            f.write(f'peak HBM in use: {peak / 2**30:.3f} GiB\n')
+            f.write(f'HBM limit: {limit / 2**30:.3f} GiB\n')
+            for key, value in sorted(stats.items()):
+                f.write(f'{key}: {value}\n')
+
+    # -- checkpoint / resume ---------------------------------------------------------
+    def save_training_state(self, path: str | Path) -> None:
+        """Whole-trainer resume file (reference: Trainer.py:94-111): model
+        params + buffers + optimizer state + host counters."""
+        state = {
+            'iteration': self.iteration,
+            'model_params': jax.tree_util.tree_map(np.asarray, self.model.params),
+            'model_buffers': jax.tree_util.tree_map(np.asarray, self.model.buffers),
+            'optimizer_state': jax.tree_util.tree_map(
+                np.asarray, self.get_optimizer_state()),
+            'rng': np.asarray(self.rng),
+        }
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, 'wb') as f:
+            pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load_training_state(self, path: str | Path) -> None:
+        import jax.numpy as jnp
+        with open(path, 'rb') as f:
+            state = pickle.load(f)
+        self.iteration = state['iteration']
+        self.model.num_iterations_trained = state['iteration']
+        self.model.params = jax.tree_util.tree_map(jnp.asarray, state['model_params'])
+        self.model.buffers = jax.tree_util.tree_map(jnp.asarray, state['model_buffers'])
+        self.set_optimizer_state(jax.tree_util.tree_map(
+            jnp.asarray, state['optimizer_state']))
+        self.rng = jnp.asarray(state['rng'])
+
+    def get_optimizer_state(self):
+        """Methods override to expose optimizer state for resume files."""
+        return {}
+
+    def set_optimizer_state(self, state) -> None:
+        pass
+
+    # -- built-in callbacks -----------------------------------------------------------
+    @pre_training_callback(priority=5000)
+    def _prepare_dataset(self, dataset) -> None:
+        """Image preloading (reference: Trainer.py:122-161)."""
+        if self.PRELOAD_DATASET:
+            dataset.preload()
+
+    @post_training_callback(priority=1000)
+    def _save_final_checkpoint(self, dataset) -> None:
+        """(reference: Trainer.py:163-180)"""
+        if self.CHECKPOINT.get('FINAL', True) and self.output_dir is not None:
+            self.model.save(self.output_dir / 'checkpoints' / 'final.ckpt')
+            Logger.info('saved final checkpoint')
+
+    @post_training_callback(priority=500)
+    def _render_testset(self, dataset) -> None:
+        if self.RENDER_TESTSET and self.output_dir is not None:
+            dataset.test()
+            if dataset.views:
+                self.renderer.render_subset(dataset, 'test',
+                                            output_dir=self.output_dir / 'test',
+                                            save_gt=False, compute_metrics=True)
+            dataset.train()

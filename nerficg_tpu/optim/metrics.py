@@ -1,0 +1,115 @@
+"""Image-quality metrics: PSNR, SSIM, (optional) LPIPS.
+
+Reference equivalent: ``BaseRenderer.compute_image_metrics`` uses torchmetrics
+PSNR/SSIM/LPIPS-VGG (src/Methods/Base/Renderer.py:103-161). Here PSNR/SSIM are
+pure jnp (XLA convs are fast on TPU); LPIPS is provided by a small VGG16
+feature distance implemented on torch-CPU weights if the ``lpips``/torch
+weights are available, otherwise reported as NaN (eval-only metric).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['psnr', 'mse_to_psnr', 'ssim', 'compute_all_metrics', 'lpips_available']
+
+
+def mse_to_psnr(mse: jnp.ndarray) -> jnp.ndarray:
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    mse = jnp.mean((pred - target) ** 2)
+    return mse_to_psnr(mse / (max_val ** 2))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return g / jnp.sum(g)
+
+
+def _filter2d_separable(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise separable gaussian filter on (H, W, C), 'valid' padding."""
+    k = kernel.shape[0]
+    c = img.shape[-1]
+    x = img[None].transpose(0, 3, 1, 2)  # (1, C, H, W)
+    kh = jnp.broadcast_to(kernel.reshape(1, 1, k, 1), (c, 1, k, 1))
+    kw = jnp.broadcast_to(kernel.reshape(1, 1, 1, k), (c, 1, 1, k))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ('NCHW', 'OIHW', 'NCHW'))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), 'VALID',
+                                     dimension_numbers=dn, feature_group_count=c)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), 'VALID',
+                                     dimension_numbers=dn, feature_group_count=c)
+    return x[0].transpose(1, 2, 0)
+
+
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,
+         kernel_size: int = 11, sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03,
+         return_map: bool = False) -> jnp.ndarray:
+    """Standard SSIM on (H, W, C) images, gaussian-windowed (matches
+    torchmetrics defaults used by the reference)."""
+    kernel = _gaussian_kernel(kernel_size, sigma)
+    mu_p = _filter2d_separable(pred, kernel)
+    mu_t = _filter2d_separable(target, kernel)
+    mu_pp = _filter2d_separable(pred * pred, kernel)
+    mu_tt = _filter2d_separable(target * target, kernel)
+    mu_pt = _filter2d_separable(pred * target, kernel)
+    var_p = mu_pp - mu_p * mu_p
+    var_t = mu_tt - mu_t * mu_t
+    cov = mu_pt - mu_p * mu_t
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    ssim_map = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / \
+               ((mu_p * mu_p + mu_t * mu_t + c1) * (var_p + var_t + c2))
+    if return_map:
+        return ssim_map
+    return jnp.mean(ssim_map)
+
+
+# -- LPIPS (optional, torch-CPU VGG) -------------------------------------------
+
+_lpips_model = None
+_lpips_checked = False
+
+
+def lpips_available() -> bool:
+    global _lpips_model, _lpips_checked
+    if not _lpips_checked:
+        _lpips_checked = True
+        try:
+            import lpips as _lpips  # noqa
+            import torch
+            _lpips_model = _lpips.LPIPS(net='vgg', verbose=False)
+            _lpips_model.eval()
+        except Exception:
+            _lpips_model = None
+    return _lpips_model is not None
+
+
+def lpips(pred: np.ndarray, target: np.ndarray) -> float:
+    """LPIPS-VGG on (H, W, 3) float [0,1] images; NaN if weights unavailable."""
+    if not lpips_available():
+        return float('nan')
+    import torch
+    with torch.no_grad():
+        p = torch.from_numpy(np.asarray(pred, np.float32)).permute(2, 0, 1)[None] * 2 - 1
+        t = torch.from_numpy(np.asarray(target, np.float32)).permute(2, 0, 1)[None] * 2 - 1
+        return float(_lpips_model(p, t).item())
+
+
+@jax.jit
+def _psnr_ssim_jit(pred, target):
+    return psnr(pred, target), ssim(pred, target)
+
+
+def compute_all_metrics(pred: np.ndarray, target: np.ndarray) -> dict[str, float]:
+    """PSNR/SSIM/LPIPS for one image pair (reference: Renderer.py:103-161)."""
+    p = jnp.asarray(pred, jnp.float32)
+    t = jnp.asarray(target, jnp.float32)
+    psnr_v, ssim_v = _psnr_ssim_jit(p, t)
+    return {'PSNR': float(psnr_v), 'SSIM': float(ssim_v),
+            'LPIPS': lpips(pred, target)}

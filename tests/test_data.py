@@ -1,0 +1,214 @@
+"""Data model tests: ImageData, RayBatch pytree, View, PLY IO, datasets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerficg_tpu.cameras import PerspectiveCamera
+from nerficg_tpu.core.config import ConfigNode
+from nerficg_tpu.data.io import (flow_to_color, linear_to_srgb, load_image,
+                                 read_flow, save_image, srgb_to_linear,
+                                 write_flow)
+from nerficg_tpu.data.ply import read_ply_vertices, write_ply_vertices
+from nerficg_tpu.data.types import (AxisAlignedBox, BasicPointCloud, ImageData,
+                                    RayBatch, View)
+
+
+class TestImageIO:
+    def test_save_load_roundtrip(self, tmp_path, np_rng):
+        img = np_rng.random((16, 20, 3)).astype(np.float32)
+        save_image(img, tmp_path / 'x.png')
+        loaded = load_image(tmp_path / 'x.png')
+        assert loaded.shape == (16, 20, 3)
+        np.testing.assert_allclose(loaded, img, atol=1 / 255 + 1e-6)
+
+    def test_scale_factor(self, tmp_path, np_rng):
+        img = np_rng.random((32, 32, 3)).astype(np.float32)
+        save_image(img, tmp_path / 'x.png')
+        half = load_image(tmp_path / 'x.png', scale_factor=0.5)
+        assert half.shape == (16, 16, 3)
+
+    def test_flow_roundtrip(self, tmp_path, np_rng):
+        flow = (np_rng.random((8, 12, 2)).astype(np.float32) - 0.5) * 10
+        write_flow(flow, tmp_path / 'f.flo')
+        back = read_flow(tmp_path / 'f.flo')
+        np.testing.assert_allclose(back, flow, atol=1e-7)
+
+    def test_flow_color(self):
+        flow = np.zeros((4, 4, 2), np.float32)
+        rgb = flow_to_color(flow)
+        assert rgb.shape == (4, 4, 3)
+
+    def test_srgb_roundtrip(self, np_rng):
+        x = np_rng.random(100).astype(np.float64)
+        np.testing.assert_allclose(linear_to_srgb(srgb_to_linear(x)), x,
+                                   atol=1e-10)
+
+
+class TestImageData:
+    def test_lazy_load_and_channels(self, tmp_path, np_rng):
+        img = np_rng.random((8, 8, 4)).astype(np.float32)
+        save_image(img, tmp_path / 'rgba.png')
+        rgb = ImageData(path=tmp_path / 'rgba.png', channels=slice(0, 3))
+        alpha = ImageData(path=tmp_path / 'rgba.png', channels=slice(3, 4))
+        assert rgb.load().shape == (8, 8, 3)
+        assert alpha.load().shape == (8, 8, 1)
+
+    def test_prefetch_caches(self, tmp_path, np_rng):
+        img = np_rng.random((4, 4, 3)).astype(np.float32)
+        save_image(img, tmp_path / 'x.png')
+        data = ImageData(path=tmp_path / 'x.png')
+        data.prefetch()
+        assert data._cache is not None
+        data.release()
+        assert data._cache is None
+
+    def test_data_scale(self):
+        data = ImageData(data=np.ones((2, 2, 1), np.float32))
+        data.update_data_scale(0.5)
+        np.testing.assert_allclose(data.load(), 0.5)
+
+    def test_missing(self):
+        assert not ImageData().exists()
+        assert ImageData().load() is None
+
+
+class TestRayBatch:
+    def _batch(self, n=10):
+        return RayBatch(origins=jnp.zeros((n, 3)),
+                        directions=jnp.ones((n, 3)),
+                        rgb=jnp.linspace(0, 1, n)[:, None] * jnp.ones((n, 3)))
+
+    def test_pytree_roundtrip(self):
+        b = self._batch()
+        leaves, treedef = jax.tree_util.tree_flatten(b)
+        b2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert isinstance(b2, RayBatch)
+        assert len(b2) == 10
+
+    def test_jit_through(self):
+        b = self._batch()
+
+        @jax.jit
+        def f(batch):
+            return batch.replace(origins=batch.origins + 1)
+
+        out = f(b)
+        assert float(out.origins[0, 0]) == 1.0
+
+    def test_indexing_split_cat(self):
+        b = self._batch(10)
+        sub = b[2:5]
+        assert len(sub) == 3
+        parts = b.split(4)
+        assert [len(p) for p in parts] == [4, 4, 2]
+        merged = RayBatch.cat(parts)
+        assert len(merged) == 10
+        np.testing.assert_allclose(np.asarray(merged.rgb), np.asarray(b.rgb))
+
+    def test_pad(self):
+        b = self._batch(5)
+        p = b.pad_to(8)
+        assert len(p) == 8
+        assert float(p.origins[7, 0]) == 0.0
+
+    def test_shape_validation(self):
+        from nerficg_tpu.core.errors import DatasetError
+        with pytest.raises(DatasetError):
+            RayBatch(origins=jnp.zeros((5, 3)), directions=jnp.zeros((4, 3)))
+
+
+class TestView:
+    def test_rays_from_pose(self):
+        cam = PerspectiveCamera(width=4, height=4)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0, 0, -3]
+        view = View(camera=cam, c2w=c2w)
+        rays = view.get_rays()
+        assert len(rays) == 16
+        np.testing.assert_allclose(np.asarray(rays.origins), np.tile([0., 0., -3.], (16, 1)))
+        # All rays point roughly toward +z.
+        assert (np.asarray(rays.directions)[:, 2] > 0.5).all()
+
+    def test_c2w_validation(self):
+        cam = PerspectiveCamera(width=2, height=2)
+        from nerficg_tpu.core.errors import DatasetError
+        with pytest.raises(DatasetError):
+            View(camera=cam, c2w=np.eye(3))
+        v = View(camera=cam, c2w=np.eye(4)[:3])  # (3,4) ok
+        assert v.c2w.shape == (4, 4)
+
+    def test_project_unproject(self, np_rng):
+        cam = PerspectiveCamera(width=32, height=32, focal_x=30.0)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [1.0, -2.0, 0.5]
+        view = View(camera=cam, c2w=c2w)
+        pts = np_rng.random((10, 3)) + np.array([1, -2, 3])
+        screen = view.project_points(pts)
+        back = view.unproject_points(screen[:, :2], screen[:, 2])
+        np.testing.assert_allclose(back, pts, atol=1e-3)
+
+
+class TestPly:
+    def test_vertices_roundtrip(self, tmp_path, np_rng):
+        props = {'x': np_rng.random(10).astype(np.float32),
+                 'y': np_rng.random(10).astype(np.float32),
+                 'z': np_rng.random(10).astype(np.float32),
+                 'red': (np_rng.random(10) * 255).astype(np.uint8)}
+        write_ply_vertices(props, tmp_path / 'p.ply')
+        back = read_ply_vertices(tmp_path / 'p.ply')
+        for key in props:
+            np.testing.assert_allclose(back[key], props[key], atol=1e-6)
+
+    def test_pointcloud_roundtrip(self, tmp_path, np_rng):
+        pcd = BasicPointCloud(np_rng.random((20, 3)),
+                              colors=np_rng.random((20, 3)))
+        pcd.save_ply(tmp_path / 'c.ply')
+        back = BasicPointCloud.from_ply(tmp_path / 'c.ply')
+        np.testing.assert_allclose(back.positions, pcd.positions, atol=1e-6)
+        np.testing.assert_allclose(back.colors, pcd.colors, atol=1 / 255 + 1e-6)
+
+
+class TestGeometry:
+    def test_aabb(self):
+        box = AxisAlignedBox(np.array([[-1, -2, -3], [1, 2, 3]]))
+        np.testing.assert_allclose(box.center, 0)
+        np.testing.assert_allclose(box.size, [2, 4, 6])
+        cube = box.cube()
+        np.testing.assert_allclose(cube.size, [6, 6, 6])
+
+    def test_pointcloud_outliers(self, np_rng):
+        pts = np_rng.normal(size=(1000, 3))
+        pts[0] = [100, 100, 100]
+        pcd = BasicPointCloud(pts).filter_outliers(0.97)
+        assert len(pcd) < 1000
+        assert pcd.positions.max() < 50
+
+
+class TestNeRFDataset:
+    def test_load_synthetic(self, synthetic_dataset):
+        from nerficg_tpu.core.registry import Datasets
+        config = ConfigNode({'GLOBAL': {'DATASET_TYPE': 'NeRF'},
+                             'DATASET': {'PATH': str(synthetic_dataset)}})
+        ds = Datasets.get_dataset(config)
+        assert len(ds.subsets['train']) == 8
+        assert len(ds.subsets['test']) == 2
+        view = ds.subsets['train'][0]
+        assert view.rgb.shape == (24, 24, 3)
+        assert view.alpha.shape == (24, 24, 1)
+        # camera at radius 4 from origin
+        assert np.linalg.norm(view.position) == pytest.approx(4.0, abs=1e-6)
+        # rays point at the origin-ish
+        rays = view.get_rays()
+        center_ray = np.asarray(rays.directions).reshape(24, 24, 3)[12, 12]
+        to_origin = -view.position / np.linalg.norm(view.position)
+        assert np.dot(center_ray, to_origin) > 0.99
+
+    def test_precompute_rays(self, synthetic_dataset):
+        from nerficg_tpu.core.registry import Datasets
+        config = ConfigNode({'DATASET': {'PATH': str(synthetic_dataset)}})
+        ds = Datasets.get_dataset(config, name='NeRF')
+        collection = ds.precompute_rays('train')
+        assert len(collection.rays) == 8 * 24 * 24
+        assert collection.rays.rgb is not None
