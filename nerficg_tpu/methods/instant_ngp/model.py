@@ -1,0 +1,163 @@
+"""Instant-NGP model: hash-grid encoding + small fused MLPs + occupancy grid.
+
+Reference equivalent: src/Methods/InstantNGP/Model.py:31-123 — tcnn
+NetworkWithInputEncoding (16-level hash grid, 2^19 table, base 16 -> 2048) +
+1x64 density MLP producing [sigma, 15 features]; SH degree-4 direction
+encoding + 2x64 color MLP -> sigmoid RGB; 128^3 occupancy grid buffers;
+MLP weight decay over the padded tcnn layout (here: plain L2 over MLP params).
+
+TPU-first: the whole field evaluation is one jitted function — hash gathers,
+two small matmul chains in bf16 with f32 accumulation. At 64-wide the MLPs
+map directly onto the MXU when the sample batch is large (SURVEY §2.12 N11).
+Density activation is the truncated exponential from the paper.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerficg_tpu.core.config import Configurable
+from nerficg_tpu.methods.base.model import BaseModel
+from nerficg_tpu.ops.encoding import sh_encode
+from nerficg_tpu.ops.hashgrid import (HashGridConfig, hash_grid_encode_mxu,
+                                      init_hash_grid_mxu)
+
+__all__ = ['InstantNGPModel', 'trunc_exp']
+
+
+@jax.custom_jvp
+def trunc_exp(x):
+    """exp with clamped gradient (Instant-NGP 'TruncExp')."""
+    return jnp.exp(jnp.clip(x, -15.0, 15.0))
+
+
+@trunc_exp.defjvp
+def _trunc_exp_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = jnp.exp(jnp.clip(x, -15.0, 15.0))
+    return y, y * dx
+
+
+def _init_linear(rng, in_dim, out_dim):
+    # He-uniform, no bias (tcnn FullyFusedMLP has no biases).
+    bound = float(np.sqrt(6.0 / in_dim))
+    return jax.random.uniform(rng, (in_dim, out_dim), jnp.float32,
+                              -bound, bound)
+
+
+def _mlp(ws, x, compute_dtype=jnp.bfloat16):
+    """ReLU MLP over a list of weight matrices (last layer linear)."""
+    for i, w in enumerate(ws):
+        x = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        if i + 1 < len(ws):
+            x = jax.nn.relu(x)
+    return x
+
+
+@Configurable.configure(
+    NUM_LEVELS=16,
+    FEATURES_PER_LEVEL=2,
+    # 2^14 per level (reference tcnn default is 2^19): the MXU-factored
+    # encode's cost scales linearly with table size (see ops/hash_mxu.py),
+    # and 2^14 is the paper's quality knee for bounded scenes.
+    LOG2_HASHMAP_SIZE=14,
+    BASE_RESOLUTION=16,
+    TARGET_RESOLUTION=2048,
+    DENSITY_MLP_WIDTH=64,
+    DENSITY_MLP_LAYERS=1,          # hidden layers (reference: 1x64)
+    GEO_FEATURES=15,
+    COLOR_MLP_WIDTH=64,
+    COLOR_MLP_LAYERS=2,
+    SH_DEGREE=4,
+    GRID_RESOLUTION=128,
+    SCALE=0.5,                     # half-extent of the scene box around center
+    CENTER=[0.0, 0.0, 0.0],
+)
+class InstantNGPModel(BaseModel):
+
+    def build(self, rng: Optional[jax.Array] = None) -> 'InstantNGPModel':
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        self.hash_config = HashGridConfig(
+            num_levels=int(self.NUM_LEVELS),
+            features_per_level=int(self.FEATURES_PER_LEVEL),
+            log2_table_size=int(self.LOG2_HASHMAP_SIZE),
+            base_resolution=int(self.BASE_RESOLUTION),
+            target_resolution=int(self.TARGET_RESOLUTION))
+        k_table, k_d1, k_d2, k_c1, k_c2, k_c3 = jax.random.split(rng, 6)
+        hdim = self.hash_config.output_dim
+        dw, geo = int(self.DENSITY_MLP_WIDTH), int(self.GEO_FEATURES)
+        cw = int(self.COLOR_MLP_WIDTH)
+        sh_dim = int(self.SH_DEGREE) ** 2
+        self.params = {
+            'hash_table': init_hash_grid_mxu(k_table, self.hash_config),
+            'density_mlp': [_init_linear(k_d1, hdim, dw),
+                            _init_linear(k_d2, dw, 1 + geo)],
+            'color_mlp': [_init_linear(k_c1, sh_dim + geo, cw),
+                          _init_linear(k_c2, cw, cw),
+                          _init_linear(k_c3, cw, 3)],
+        }
+        resolution = int(self.GRID_RESOLUTION)
+        self.buffers = {
+            'density_grid': jnp.zeros((resolution ** 3,), jnp.float32),
+        }
+        center = np.asarray(self.CENTER, np.float32)
+        scale = float(self.SCALE)
+        self.aabb_min = jnp.asarray(center - scale, jnp.float32)
+        self.aabb_max = jnp.asarray(center + scale, jnp.float32)
+        return self
+
+    # rebuild derived fields after load()
+    @classmethod
+    def load(cls, path, config=None):
+        model = super().load(path, config)
+        rebuilt = cls(model._config if model._config is not None else None,
+                      name=model.model_name)
+        # Re-derive static fields, keep loaded params/buffers.
+        params, buffers = model.params, model.buffers
+        iters = model.num_iterations_trained
+        model = rebuilt
+        model.build()
+        model.params = params
+        model.buffers = buffers
+        model.num_iterations_trained = iters
+        return model
+
+    # -- field evaluation (pure) ----------------------------------------------
+    def density(self, params: dict, positions: jnp.ndarray
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """positions (N,3) world -> (density (N,), geo features (N, GEO))."""
+        unit = (positions - self.aabb_min) / (self.aabb_max - self.aabb_min)
+        unit = jnp.clip(unit, 0.0, 1.0 - 1e-6)
+        feats = hash_grid_encode_mxu(params['hash_table'], unit, self.hash_config)
+        h = _mlp(params['density_mlp'], feats)
+        sigma = trunc_exp(h[..., 0])
+        return sigma, h[..., 1:]
+
+    def color(self, params: dict, geo_features: jnp.ndarray,
+              directions: jnp.ndarray) -> jnp.ndarray:
+        """(N, GEO) features + (N, 3) unit dirs -> (N, 3) rgb."""
+        sh = sh_encode(directions, int(self.SH_DEGREE))
+        x = jnp.concatenate([sh, geo_features], axis=-1)
+        return jax.nn.sigmoid(_mlp(params['color_mlp'], x))
+
+    def field(self, params: dict, positions: jnp.ndarray,
+              directions: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        sigma, geo = self.density(params, positions)
+        rgb = self.color(params, geo, directions)
+        return sigma, rgb
+
+    def mlp_weight_squares(self, params: dict) -> jnp.ndarray:
+        """Sum of squared MLP weights for the weight-decay loss term
+        (reference: InstantNGP/Model.py:38-44, Loss.py:12-26)."""
+        total = jnp.zeros(())
+        count = 0
+        for w in params['density_mlp'] + params['color_mlp']:
+            total = total + jnp.sum(w.astype(jnp.float32) ** 2)
+            count += w.size
+        return total / max(count, 1)

@@ -1,0 +1,160 @@
+"""Instant-NGP renderer: occupancy-skipping marching + packed compositing.
+
+Reference equivalent: src/Methods/InstantNGP/Renderer.py — ray-AABB clamp
+(:39-43), one-shot packed training marcher (:61-83), iterative alive-ray
+inference loop (:85-138), occupancy maintenance (:182-272).
+
+TPU-first: both training and inference use the static-budget compacted
+marcher (ops/occupancy.py); "dynamic batch" becomes a host-side choice among
+a few pre-compiled bucket sizes. Occupancy updates are jitted grid refreshes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerficg_tpu.core.config import Configurable
+from nerficg_tpu.data.types import RayBatch, View
+from nerficg_tpu.methods.base.renderer import BaseRenderer
+from nerficg_tpu.methods.instant_ngp.model import InstantNGPModel
+from nerficg_tpu.ops.occupancy import (composite_packed, downsample_occupancy,
+                                       march_rays, update_density_grid)
+
+__all__ = ['InstantNGPRenderer']
+
+
+@Configurable.configure(
+    MAX_SAMPLES=512,            # marching steps per ray (reference: 1024)
+    MARCH_RESOLUTION=32,        # coarse skip-grid probed by the marcher
+    AVG_SAMPLES_PER_RAY=32,     # training compaction budget = rays * this
+    INFERENCE_SAMPLES_PER_RAY=128,  # larger budget for full-image rendering
+    DENSITY_THRESHOLD=0.01,
+    EARLY_STOP_EPS=1e-4,
+    RAY_BATCH_SIZE=8192,
+    OCCUPANCY_DECAY=0.95,
+    OCCUPANCY_SAMPLES=262144,   # cells refreshed per update
+)
+class InstantNGPRenderer(BaseRenderer):
+
+    MODEL_CLASS = InstantNGPModel
+
+    def __init__(self, config, model, mesh=None):
+        super().__init__(config, model, mesh)
+        self._render_jit = jax.jit(self._render_rays_impl,
+                                   static_argnames=('randomized', 'num_rays'))
+        self._render_infer_jit = jax.jit(
+            partial(self._render_rays_impl,
+                    samples_per_ray=int(self.INFERENCE_SAMPLES_PER_RAY)),
+            static_argnames=('randomized', 'num_rays'))
+        self._update_grid_jit = jax.jit(self._update_grid_impl,
+                                        static_argnames=('warmup',))
+        self._grid_binary_jit = jax.jit(lambda grid: downsample_occupancy(
+            grid, int(self.model.GRID_RESOLUTION), int(self.MARCH_RESOLUTION),
+            self.density_threshold))
+        # Density scaled so a cell is "occupied" when alpha over one marching
+        # step would be non-negligible (reference: Renderer.py:141-152).
+        self._density_scale = float(self.MAX_SAMPLES) / (3.0 ** 0.5)
+
+    @property
+    def density_threshold(self) -> float:
+        # alpha threshold -> density threshold given mean step length.
+        extent = 2.0 * float(self.model.SCALE)  # static (config-derived)
+        mean_step = extent * (3.0 ** 0.5) / float(self.MAX_SAMPLES)
+        return float(self.DENSITY_THRESHOLD) / mean_step
+
+    # -- core (pure, jitted) ------------------------------------------------------
+    def _render_rays_impl(self, params: dict, grid_binary: jnp.ndarray,
+                          origins: jnp.ndarray, directions: jnp.ndarray,
+                          rng: jax.Array, background: jnp.ndarray,
+                          randomized: bool = True,
+                          num_rays: int | None = None,
+                          samples_per_ray: int | None = None) -> dict:
+        n = origins.shape[0] if num_rays is None else num_rays
+        budget = n * int(samples_per_ray if samples_per_ray is not None
+                         else self.AVG_SAMPLES_PER_RAY)
+        resolution = int(self.MARCH_RESOLUTION) if grid_binary.ndim == 4 \
+            else int(self.model.GRID_RESOLUTION)
+        march = march_rays(
+            origins, directions,
+            self.model.aabb_min, self.model.aabb_max,
+            grid_binary, resolution,
+            max_steps=int(self.MAX_SAMPLES), sample_budget=budget,
+            rng=rng if randomized else None)
+        sigma, rgb = self.model.field(params, march.positions, march.directions)
+        sigma = jnp.where(march.valid, sigma, 0.0)
+        out = composite_packed(sigma, rgb, march, n, background=background,
+                               early_stop_eps=float(self.EARLY_STOP_EPS))
+        out['num_samples'] = march.num_valid
+        out['ray_mask'] = march.ray_complete[:, None].astype(jnp.float32)
+        return out
+
+    def _update_grid_impl(self, params: dict, density_grid: jnp.ndarray,
+                          rng: jax.Array, warmup: bool = False) -> jnp.ndarray:
+        def query(positions):
+            sigma, _ = self.model.density(params, positions)
+            return sigma
+        return update_density_grid(
+            density_grid, query, self.model.aabb_min, self.model.aabb_max,
+            int(self.model.GRID_RESOLUTION), rng,
+            num_samples=int(self.OCCUPANCY_SAMPLES),
+            decay=float(self.OCCUPANCY_DECAY), warmup=warmup)
+
+    # -- public API ------------------------------------------------------------------
+    def grid_binary(self) -> jnp.ndarray:
+        """Coarse marching skip-grid in the MXU table layout (see
+        ops.occupancy.downsample_occupancy + occupancy_lookup_mxu)."""
+        return self._grid_binary_jit(self.model.buffers['density_grid'])
+
+    def update_occupancy_grid(self, rng: jax.Array, warmup: bool = False) -> None:
+        """(reference: Renderer.py:245-272)"""
+        self.model.buffers['density_grid'] = self._update_grid_jit(
+            self.model.params, self.model.buffers['density_grid'], rng,
+            warmup=warmup)
+
+    def render_rays(self, rays: RayBatch, rng: Optional[jax.Array] = None,
+                    randomized: bool = False,
+                    background: Optional[jnp.ndarray] = None) -> dict:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        # Inference uses a larger per-ray sample budget than training: budget
+        # truncation would otherwise blank rays at the end of each chunk.
+        chunk = max((int(self.RAY_BATCH_SIZE) * int(self.AVG_SAMPLES_PER_RAY))
+                    // int(self.INFERENCE_SAMPLES_PER_RAY), 256)
+        bg = jnp.asarray(
+            background if background is not None else
+            getattr(self, '_background', jnp.zeros(3)), jnp.float32)
+        grid = self.grid_binary()
+        n = len(rays)
+        padded = ((n + chunk - 1) // chunk) * chunk
+        rays_p = rays.pad_to(padded)
+        outputs = []
+        for i in range(0, padded, chunk):
+            out = self._render_infer_jit(self.model.params, grid,
+                                         rays_p.origins[i:i + chunk],
+                                         rays_p.directions[i:i + chunk],
+                                         jax.random.fold_in(rng, i), bg,
+                                         randomized=randomized)
+            outputs.append({k: v for k, v in out.items()
+                            if k in ('rgb', 'depth', 'alpha')})
+        return {k: jnp.concatenate([o[k] for o in outputs], axis=0)[:n]
+                for k in outputs[0]}
+
+    def bind_background(self, background) -> None:
+        self._background = jnp.asarray(background, jnp.float32)
+
+    def render_image(self, view: View, rng: Optional[jax.Array] = None,
+                     benchmark: bool = False) -> dict[str, jnp.ndarray]:
+        self.bind_background(view.camera.background_color)
+        rays = view.get_rays(with_images=False)
+        out = self.render_rays(rays, rng=rng, randomized=False)
+        h, w = view.camera.height, view.camera.width
+        result = {'rgb': out['rgb'].reshape(h, w, 3),
+                  'depth': out['depth'].reshape(h, w, 1),
+                  'alpha': out['alpha'].reshape(h, w, 1)}
+        if benchmark:
+            jax.block_until_ready(result['rgb'])
+        return result
