@@ -21,7 +21,8 @@ import numpy as np
 from nerficg_tpu.core.config import ConfigNode, load_config
 from nerficg_tpu.core.logging import Logger
 
-__all__ = ['FrameworkContext', 'setup', 'teardown', 'Directories', 'default_argparser']
+__all__ = ['FrameworkContext', 'setup', 'teardown', 'Directories',
+           'default_argparser', 'device_sync']
 
 
 class Directories:
@@ -97,3 +98,16 @@ def default_argparser(description: str) -> argparse.ArgumentParser:
     parser.add_argument('overrides', nargs='*', default=[],
                         help='KEY.SUBKEY=value config overrides')
     return parser
+
+
+def device_sync(tree) -> None:
+    """Block until device work producing ``tree`` is complete.
+
+    ``jax.block_until_ready`` has a pathological fixed cost (~1s) through some
+    remote-device transports (axon); pulling one scalar forces completion via
+    the data path instead.
+    """
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        jnp.sum(leaves[0]).item()

@@ -1,0 +1,120 @@
+"""Gaussian Splatting renderer: projection + differentiable tile rasterizer.
+
+Reference equivalent: src/Methods/GaussianSplatting/Renderer.py:27-188 —
+wraps the external diff-gaussian-rasterization package with three paths
+(training with retained viewspace grads, inference with SH toggles, and a
+benchmark path with baked covariances). Here all three collapse into one
+jitted function over the TPU-native rasterizer (ops/gs_rasterize.py); the
+"retained viewspace gradient" becomes an explicit zero-valued input whose
+gradient is the densification statistic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerficg_tpu.core.config import Configurable
+from nerficg_tpu.data.types import View
+from nerficg_tpu.methods.base.renderer import BaseRenderer
+from nerficg_tpu.methods.gaussian_splatting.model import GaussianSplattingModel
+from nerficg_tpu.ops.encoding import eval_sh
+from nerficg_tpu.ops.gaussian import build_covariance_3d, project_gaussians
+from nerficg_tpu.ops.gs_rasterize import rasterize_gaussians
+
+__all__ = ['GaussianSplattingRenderer']
+
+
+@Configurable.configure(
+    MAX_PER_TILE=256,           # front-to-back budget per 16x16 tile
+    MAX_TILES_PER_GAUSSIAN=9,
+    TILE_CHUNK=64,
+    LOW_PASS_FILTER=0.3,
+)
+class GaussianSplattingRenderer(BaseRenderer):
+
+    MODEL_CLASS = GaussianSplattingModel
+
+    def __init__(self, config, model, mesh=None):
+        super().__init__(config, model, mesh)
+        self._render_cache = {}
+
+    # -- core (pure) -------------------------------------------------------------
+    def render_impl(self, params: dict, means2d_offset: jnp.ndarray,
+                    w2c: jnp.ndarray, cam_pos: jnp.ndarray,
+                    intrinsics: tuple, background: jnp.ndarray,
+                    sh_degree: int) -> dict:
+        """One full differentiable render.
+
+        means2d_offset: zeros (N, 2); its gradient is the viewspace
+        positional gradient used by densification (reference retains
+        viewspace_points.grad, Renderer.py:51-88).
+        intrinsics: static (focal_x, focal_y, center_x, center_y, W, H).
+        """
+        model = self.model
+        focal_x, focal_y, center_x, center_y, width, height = intrinsics
+        positions = params['positions']
+        cov3d = build_covariance_3d(model.get_scales(params),
+                                    model.get_rotations(params))
+        proj = project_gaussians(positions, cov3d, w2c,
+                                 focal_x, focal_y, center_x, center_y,
+                                 width, height,
+                                 low_pass=float(self.LOW_PASS_FILTER))
+        means2d = proj['means2d'] + means2d_offset
+        # View-dependent SH color (reference: utils.py:21-59).
+        directions = positions - cam_pos
+        directions = directions / jnp.maximum(
+            jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-8)
+        colors = eval_sh(model.get_features(params), directions, sh_degree)
+        colors = jnp.maximum(colors + 0.5, 0.0)
+        out = rasterize_gaussians(
+            means2d=means2d, depths=proj['depths'], conics=proj['conics'],
+            radii=proj['radii'], colors=colors,
+            opacities=model.get_opacities(params),
+            visible=proj['in_frustum'], width=width, height=height,
+            background=background,
+            max_tiles_per_gaussian=int(self.MAX_TILES_PER_GAUSSIAN),
+            max_per_tile=int(self.MAX_PER_TILE),
+            tile_chunk=int(self.TILE_CHUNK))
+        out['radii'] = proj['radii']
+        out['visible'] = proj['in_frustum']
+        return out
+
+    def _get_render_fn(self, intrinsics: tuple, sh_degree: int):
+        key = (intrinsics, sh_degree, self.model.params['positions'].shape[0])
+        if key not in self._render_cache:
+            self._render_cache[key] = jax.jit(partial(
+                self.render_impl, intrinsics=intrinsics,
+                sh_degree=sh_degree))
+        return self._render_cache[key]
+
+    @staticmethod
+    def view_constants(view: View) -> tuple:
+        cam = view.camera
+        intrinsics = (float(cam.focal_x), float(cam.focal_y),
+                      float(cam.center_x), float(cam.center_y),
+                      int(cam.width), int(cam.height))
+        w2c = jnp.asarray(view.w2c, jnp.float32)
+        cam_pos = jnp.asarray(view.position, jnp.float32)
+        return intrinsics, w2c, cam_pos
+
+    # -- public API ----------------------------------------------------------------
+    def render_image(self, view: View, rng: Optional[jax.Array] = None,
+                     benchmark: bool = False) -> dict[str, jnp.ndarray]:
+        intrinsics, w2c, cam_pos = self.view_constants(view)
+        fn = self._get_render_fn(intrinsics, int(self.model.active_sh_degree))
+        n = self.model.params['positions'].shape[0]
+        out = fn(self.model.params, jnp.zeros((n, 2), jnp.float32), w2c,
+                 cam_pos,
+                 background=jnp.asarray(view.camera.background_color,
+                                        jnp.float32))
+        result = {'rgb': jnp.clip(out['rgb'], 0.0, 1.0),
+                  'alpha': out['alpha'], 'depth': out['depth']}
+        if benchmark:
+            from nerficg_tpu.core.setup import device_sync
+            device_sync(result['rgb'])
+        return result

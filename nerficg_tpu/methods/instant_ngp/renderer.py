@@ -156,5 +156,6 @@ class InstantNGPRenderer(BaseRenderer):
                   'depth': out['depth'].reshape(h, w, 1),
                   'alpha': out['alpha'].reshape(h, w, 1)}
         if benchmark:
-            jax.block_until_ready(result['rgb'])
+            from nerficg_tpu.core.setup import device_sync
+            device_sync(result['rgb'])
         return result

@@ -11,6 +11,7 @@ On TPU these are elementwise integer ops on the VPU — no kernel needed.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ['morton3d', 'morton3d_invert', 'morton_encode_positions', 'packbits',
@@ -77,10 +78,7 @@ def morton_encode_positions(positions: jnp.ndarray,
     """
     norm = (positions - aabb_min) / jnp.maximum(aabb_max - aabb_min, 1e-12)
     norm = jnp.clip(norm, 0.0, 1.0 - 1e-7)
-    try:
-        use64 = jnp.zeros((), jnp.uint64).dtype == jnp.uint64
-    except Exception:
-        use64 = False
+    use64 = jax.config.jax_enable_x64
     if use64:
         coords = (norm * (1 << 21)).astype(jnp.uint64)
         x = _expand_bits_21(coords[..., 0])

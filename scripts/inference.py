@@ -23,17 +23,18 @@ from nerficg_tpu.core.setup import setup, teardown
 def benchmark_fps(renderer, dataset, subset: str = 'test', repeats: int = 100,
                   output_dir: Path | None = None, iterations: int = 0) -> float:
     """Online FPS benchmark (reference: inference.py:62-97)."""
+    from nerficg_tpu.core.setup import device_sync
     views = dataset.subsets[subset] or dataset.subsets['train']
     # Warmup/compile pass.
-    out = renderer.render_image(views[0], benchmark=True)
-    jax.block_until_ready(out['rgb'])
+    out = renderer.render_image(views[0])
+    device_sync(out['rgb'])
     start = time.perf_counter()
     count = 0
     for _ in range(repeats):
         for view in views:
-            out = renderer.render_image(view, benchmark=True)
+            out = renderer.render_image(view)
             count += 1
-    jax.block_until_ready(out['rgb'])
+    device_sync(out['rgb'])
     elapsed = time.perf_counter() - start
     fps = count / elapsed
     Logger.info(f'benchmark: {count} renders in {elapsed:.2f}s -> {fps:.2f} FPS')
