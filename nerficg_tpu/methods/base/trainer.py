@@ -29,7 +29,8 @@ from nerficg_tpu.core.setup import Directories
 from nerficg_tpu.methods.base.callbacks import (MAIN, POST, PRE, CallbackTimer,
                                                 gather_callbacks,
                                                 post_training_callback,
-                                                pre_training_callback)
+                                                pre_training_callback,
+                                                training_callback)
 from nerficg_tpu.methods.base.model import BaseModel
 from nerficg_tpu.methods.base.renderer import BaseRenderer
 
@@ -78,6 +79,13 @@ class BaseTrainer(Configurable):
         Logger.info(f'training output dir: {self.output_dir}')
         if self._config is not None:
             save_config(self._config, self.output_dir / 'training_config.yaml')
+
+        if self.WANDB.get('ACTIVATE', False) and self._wandb is None:
+            from nerficg_tpu.core.wandb_utils import WandbSession
+            self._wandb = WandbSession(
+                config=self._config.to_dict() if self._config else {},
+                project=self.WANDB.get('PROJECT', 'nerficg_tpu'),
+                run_name=self.MODEL_NAME)
 
         num_iterations = int(self.NUM_ITERATIONS)
         fresh = self.iteration == 0
@@ -192,6 +200,20 @@ class BaseTrainer(Configurable):
         """Image preloading (reference: Trainer.py:122-161)."""
         if self.PRELOAD_DATASET:
             dataset.preload()
+
+    @training_callback(priority=10, active='WANDB.ACTIVATE',
+                       iteration_stride='WANDB.INTERVAL')
+    def _wandb_log(self, dataset, iteration: int) -> None:
+        """Interval loss logging (reference: Trainer.py:308-351)."""
+        logs = getattr(self, '_last_logs', None)
+        if self._wandb is not None and self._wandb.active and logs:
+            self._wandb.log({k: float(v) for k, v in logs.items()},
+                            step=iteration)
+
+    @post_training_callback(priority=100)
+    def _wandb_finish(self, dataset) -> None:
+        if self._wandb is not None:
+            self._wandb.finish()
 
     @post_training_callback(priority=1000)
     def _save_final_checkpoint(self, dataset) -> None:

@@ -212,3 +212,60 @@ class TestNeRFDataset:
         collection = ds.precompute_rays('train')
         assert len(collection.rays) == 8 * 24 * 24
         assert collection.rays.rgb is not None
+
+
+class TestAllLoadersImportable:
+    def test_all_registered_loaders_resolve(self):
+        from nerficg_tpu.core.registry import Datasets
+        for name in Datasets.options():
+            cls = Datasets.get_class(name)
+            assert hasattr(cls, 'load'), name
+            # default parameters resolvable (Configurable MRO merge works)
+            params = cls.default_parameters()
+            assert 'PATH' in params, name
+
+
+class TestColmapModel:
+    def _write_text_model(self, root):
+        import numpy as np
+        (root / 'sparse').mkdir(parents=True)
+        with open(root / 'sparse' / 'cameras.txt', 'w') as f:
+            f.write('# comment\n1 PINHOLE 64 48 60.0 55.0 32.0 24.0\n')
+        with open(root / 'sparse' / 'images.txt', 'w') as f:
+            f.write('# comment\n1 1 0 0 0 0.5 -1.0 2.0 1 img_000.png\n'
+                    '1 2 0.5\n')
+        with open(root / 'sparse' / 'points3D.txt', 'w') as f:
+            f.write('1 0.1 0.2 0.3 255 128 0 0.5 1 0\n')
+
+    def test_text_model_roundtrip(self, tmp_path):
+        import numpy as np
+        from nerficg_tpu.data.colmap_model import read_colmap_model
+        self._write_text_model(tmp_path)
+        cameras, images, (pts, cols) = read_colmap_model(tmp_path / 'sparse')
+        assert cameras[1].model == 'PINHOLE'
+        intr = cameras[1].intrinsics()
+        assert intr['focal_x'] == 60.0 and intr['center_y'] == 24.0
+        img = images[1]
+        assert img.name == 'img_000.png'
+        c2w = img.c2w()
+        # identity rotation -> c2w translation = -t
+        np.testing.assert_allclose(c2w[:3, 3], [-0.5, 1.0, -2.0], atol=1e-12)
+        np.testing.assert_allclose(pts[0], [0.1, 0.2, 0.3], atol=1e-6)
+        np.testing.assert_allclose(cols[0], [1.0, 128 / 255, 0.0], atol=1e-6)
+
+    def test_colmap_dataset_loads(self, tmp_path, np_rng):
+        from nerficg_tpu.core.config import ConfigNode
+        from nerficg_tpu.core.registry import Datasets
+        from nerficg_tpu.data.io import save_image
+        self._write_text_model(tmp_path)
+        (tmp_path / 'images').mkdir()
+        save_image(np_rng.random((48, 64, 3)).astype('float32'),
+                   tmp_path / 'images' / 'img_000.png')
+        cfg = ConfigNode({'DATASET': {'PATH': str(tmp_path), 'TEST_STEP': 0,
+                                      'NORMALIZE_PCA': False}})
+        ds = Datasets.get_dataset(cfg, name='Colmap')
+        assert len(ds.subsets['train']) == 1
+        view = ds.subsets['train'][0]
+        assert view.camera.width == 64
+        assert view.rgb.shape == (48, 64, 3)
+        assert ds.point_cloud is not None and len(ds.point_cloud) == 1

@@ -212,3 +212,43 @@ class TestEncodings:
         dirs = jnp.array([[0, 0, 1.0]] * 4)
         out = np.asarray(eval_sh(coeffs, dirs, 1))
         np.testing.assert_allclose(out, 0.282095, atol=1e-5)
+
+
+class TestMaskedMetrics:
+    def test_masked_psnr_ignores_masked_pixels(self, np_rng):
+        from nerficg_tpu.optim.masked_metrics import masked_psnr
+        gt = np_rng.random((16, 16, 3)).astype(np.float32)
+        pred = gt.copy()
+        pred[:8] = 0.0  # corrupt the top half
+        mask = np.zeros((16, 16), np.float32)
+        mask[8:] = 1.0  # evaluate only the clean bottom half
+        v = float(masked_psnr(jnp.asarray(pred), jnp.asarray(gt),
+                              jnp.asarray(mask)))
+        assert v > 60.0
+        full = float(masked_psnr(jnp.asarray(pred), jnp.asarray(gt),
+                                 jnp.ones((16, 16))))
+        assert full < 20.0
+
+    def test_masked_ssim_matches_plain_on_full_mask(self, np_rng):
+        from nerficg_tpu.optim.masked_metrics import masked_ssim
+        from nerficg_tpu.optim.metrics import ssim
+        a = np_rng.random((24, 24, 3)).astype(np.float32)
+        b = np.clip(a + np_rng.normal(size=a.shape).astype(np.float32) * 0.05,
+                    0, 1)
+        m = float(masked_ssim(jnp.asarray(a), jnp.asarray(b),
+                              jnp.ones((24, 24))))
+        p = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(m - p) < 0.05
+
+
+class TestGradientScaling:
+    def test_backward_scaled(self):
+        from nerficg_tpu.optim.gradient_scaling import scale_gradients_by_distance
+        values = jnp.ones((4, 3))
+        distances = jnp.array([0.1, 0.5, 1.0, 2.0])
+
+        def f(v):
+            return jnp.sum(scale_gradients_by_distance(v, distances))
+
+        g = np.asarray(jax.grad(f)(values))
+        np.testing.assert_allclose(g[:, 0], [0.01, 0.25, 1.0, 1.0], atol=1e-6)
