@@ -98,9 +98,20 @@ class InstantNGPTrainer(BaseTrainer):
         self.renderer.update_occupancy_grid(self.next_rng(), warmup=True)
 
     # -- train step construction per bucket ------------------------------------------
+    def _num_devices(self) -> int:
+        import jax as _jax
+        configured = self._config.get_path('GLOBAL.NUM_DEVICES') \
+            if self._config is not None else None
+        available = len(_jax.devices())
+        return min(int(configured), available) if configured else available
+
     def _get_train_step(self, num_rays: int):
         if num_rays in self._train_steps:
             return self._train_steps[num_rays]
+        if self._num_devices() > 1:
+            step = self._build_dp_train_step(num_rays)
+            self._train_steps[num_rays] = step
+            return step
         renderer = self.renderer
         optimizer = self.optimizer
         weight_decay = float(self.WEIGHT_DECAY)
@@ -146,6 +157,72 @@ class InstantNGPTrainer(BaseTrainer):
 
         self._train_steps[num_rays] = train_step
         return train_step
+
+    def _build_dp_train_step(self, num_rays: int):
+        """Data-parallel step: rays sharded over the mesh, params replicated,
+        grads pmean'd (see parallel/data_parallel.py). The returned callable
+        has the same signature as the single-device step."""
+        from nerficg_tpu.parallel.data_parallel import (
+            make_data_parallel_train_step, replicate)
+        from nerficg_tpu.parallel.mesh import make_mesh
+        n_dev = self._num_devices()
+        assert num_rays % n_dev == 0, \
+            f'rays/batch {num_rays} must divide over {n_dev} devices'
+        local_rays = num_rays // n_dev
+        mesh = make_mesh(num_devices=n_dev)
+        renderer = self.renderer
+        weight_decay = float(self.WEIGHT_DECAY)
+        has_alpha = self._pool['alpha'] is not None
+        samples_per_ray = min(
+            max(int(self.TARGET_BATCH_SIZE) // num_rays, 4),
+            int(renderer.MAX_SAMPLES))
+
+        def grad_fn(params, batch, rng):
+            pool = batch['pool']        # replicated via leading length-1 axis
+            ids = batch['ids']
+            origins = pool['origins'][0][ids]
+            directions = pool['directions'][0][ids]
+            target = pool['rgb'][0][ids]
+            bg = batch['bg'][0]
+            if has_alpha:
+                alpha = pool['alpha'][0][ids]
+                target = target * alpha + bg * (1.0 - alpha)
+
+            def loss_fn(p):
+                out = renderer._render_rays_impl(
+                    p, batch['grid'][0], origins, directions, rng, bg,
+                    randomized=True, num_rays=local_rays,
+                    samples_per_ray=samples_per_ray)
+                mask = out['ray_mask']
+                err = (out['rgb'] - target) ** 2 * mask
+                color = jnp.sum(err) / jnp.maximum(jnp.sum(mask) * 3.0, 1.0)
+                wd = renderer.model.mlp_weight_squares(p)
+                loss = color + weight_decay * wd
+                return loss, {'color': color, 'weight_decay': wd,
+                              'total': loss, 'psnr': mse_to_psnr(color),
+                              'num_samples': out['num_samples'],
+                              'ray_mask_frac': jnp.mean(mask)}
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        dp_step = make_data_parallel_train_step(mesh, grad_fn, self.optimizer)
+        n_devices = n_dev
+
+        def step(params, opt_state, grid_binary, pool, ids, rng, bg):
+            batch = {
+                'ids': ids,
+                # Broadcast replicated operands with a leading device axis so
+                # shard_map's P('data') spec slices one copy per device.
+                'pool': {k: (jnp.broadcast_to(v[None], (n_devices,) + v.shape)
+                             if v is not None else None)
+                         for k, v in pool.items()},
+                'grid': jnp.broadcast_to(grid_binary[None],
+                                         (n_devices,) + grid_binary.shape),
+                'bg': jnp.broadcast_to(bg[None], (n_devices,) + bg.shape),
+            }
+            return dp_step(params, opt_state, batch, rng)
+
+        return step
 
     # -- callbacks ---------------------------------------------------------------------
     @training_callback(priority=200, iteration_stride='OCCUPANCY_UPDATE_INTERVAL')
