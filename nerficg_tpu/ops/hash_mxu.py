@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['mxu_gather', 'mxu_scatter_add', 'gather_d', 'scatter_add_d',
            'TILE_M']
 
-TILE_M = 2048   # lookups per kernel step (multiple of 128)
+TILE_M = 8192   # lookups per kernel step (multiple of 128)
 LANES = 128
 
 

@@ -116,11 +116,14 @@ class TestOccupancyMarching:
 
     def test_budget_overflow_truncates(self):
         origins, directions, grid, res = self._march_setup()
+        # Budget 64 = 2 blocks of 32: only the first 2 rays' samples fit.
         march = march_rays(origins, directions,
                            jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0]),
-                           grid, res, max_steps=32, sample_budget=50)
-        assert int(march.num_valid) == 50
-        assert march.positions.shape == (50, 3)
+                           grid, res, max_steps=32, sample_budget=64)
+        assert int(march.num_valid) == 64
+        assert march.positions.shape == (64, 3)
+        complete = np.asarray(march.ray_complete)
+        assert complete.tolist() == [True, True, False, False]
 
 
 class TestPackedCompositing:
