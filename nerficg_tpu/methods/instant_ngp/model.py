@@ -23,8 +23,8 @@ import numpy as np
 from nerficg_tpu.core.config import Configurable
 from nerficg_tpu.methods.base.model import BaseModel
 from nerficg_tpu.ops.encoding import sh_encode
-from nerficg_tpu.ops.hashgrid import (HashGridConfig, hash_grid_encode_mxu,
-                                      init_hash_grid_mxu)
+from nerficg_tpu.ops.hash_fused import hash_encode_fused
+from nerficg_tpu.ops.hashgrid import HashGridConfig, init_hash_grid_mxu
 
 __all__ = ['InstantNGPModel', 'trunc_exp']
 
@@ -134,7 +134,7 @@ class InstantNGPModel(BaseModel):
         """positions (N,3) world -> (density (N,), geo features (N, GEO))."""
         unit = (positions - self.aabb_min) / (self.aabb_max - self.aabb_min)
         unit = jnp.clip(unit, 0.0, 1.0 - 1e-6)
-        feats = hash_grid_encode_mxu(params['hash_table'], unit, self.hash_config)
+        feats = hash_encode_fused(params['hash_table'], unit, self.hash_config)
         h = _mlp(params['density_mlp'], feats)
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]

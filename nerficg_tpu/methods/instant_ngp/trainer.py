@@ -244,8 +244,10 @@ class InstantNGPTrainer(BaseTrainer):
             self.model.params, self.opt_state, self.renderer.grid_binary(),
             self._pool, ids, self.next_rng(), bg)
         self._last_logs = logs
-        self._measured_samples.append(float(logs['num_samples']))
-        self._measured_mask_frac.append(float(logs['ray_mask_frac']))
+        # Keep device scalars — a float() here would force a device sync
+        # every step and halve throughput (fetched in _resize_batch).
+        self._measured_samples.append(logs['num_samples'])
+        self._measured_mask_frac.append(logs['ray_mask_frac'])
 
     @training_callback(priority=90, iteration_stride='BATCH_RESIZE_INTERVAL',
                        start_iteration='BATCH_RESIZE_INTERVAL')
@@ -256,8 +258,10 @@ class InstantNGPTrainer(BaseTrainer):
         when rays overflow their per-ray share, grow when there is headroom."""
         if not self._measured_samples:
             return
-        mean_samples = max(np.mean(self._measured_samples), 1.0)
-        mask_frac = np.mean(self._measured_mask_frac) if self._measured_mask_frac else 1.0
+        mean_samples = max(float(jnp.mean(jnp.stack(self._measured_samples))),
+                           1.0)
+        mask_frac = float(jnp.mean(jnp.stack(self._measured_mask_frac))) \
+            if self._measured_mask_frac else 1.0
         self._measured_samples.clear()
         self._measured_mask_frac.clear()
         n = self.rays_per_batch
