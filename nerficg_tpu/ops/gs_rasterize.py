@@ -212,6 +212,122 @@ def rasterize_tiles(tile_ids: jnp.ndarray, tile_counts: jnp.ndarray,
     return {'rgb': image, 'alpha': alpha_img, 'depth': depth_img}
 
 
+# =============================================================================
+# Sort-payload pipeline (default): attributes ride the (tile, depth) sort as
+# payload operands instead of being fetched per tile slot with the one-hot
+# gather — the gather's cost scales with the Gaussian count (4.2 TFLOP at
+# N=100k for a 1080p frame, measured 86 ms/frame) while the payload sort is
+# O(E log^2 E) data movement (~6 ms for 900k entries). Gradients are routed
+# back through two exact permutation sorts (no scatter: TPU scatter of 2M
+# rows measured 230+ ms, the inverse sorts ~15 ms).
+# =============================================================================
+
+
+@jax.custom_vjp
+def _permute_entries(tile_key: jnp.ndarray, depth_key: jnp.ndarray,
+                     channels: jnp.ndarray):
+    """Sort entries by (tile, depth); channels (C, E) ride as payloads.
+
+    Returns (sorted_tile (E,) int32, sorted_channels (C, E)). Differentiable
+    in ``channels``: the VJP applies the inverse permutation via one sort.
+    """
+    out, _ = _permute_entries_fwd(tile_key, depth_key, channels)
+    return out
+
+
+def _permute_entries_fwd(tile_key, depth_key, channels):
+    # Keys are float32 (tile ids < 2^24 are exact) so the custom_vjp can
+    # return plain zero cotangents for them.
+    e = tile_key.shape[0]
+    pos = jnp.arange(e, dtype=jnp.int32)
+    ops = jax.lax.sort((tile_key, depth_key, pos) + tuple(channels),
+                       num_keys=2)
+    sorted_tile = ops[0]
+    perm = ops[2]
+    sorted_channels = jnp.stack(ops[3:])
+    return (sorted_tile, sorted_channels), perm
+
+
+def _permute_entries_bwd(perm, cotangents):
+    _, d_sorted = cotangents                       # (C, E)
+    ops = jax.lax.sort((perm,) + tuple(d_sorted), num_keys=1)
+    d_channels = jnp.stack(ops[1:])
+    return (jnp.zeros(perm.shape, jnp.float32),
+            jnp.zeros(perm.shape, jnp.float32), d_channels)
+
+
+_permute_entries.defvjp(_permute_entries_fwd, _permute_entries_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _slice_tile_segments(sorted_mat: jnp.ndarray, starts: jnp.ndarray,
+                         rank_valid: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-tile fixed-budget windows of the sorted entry stream.
+
+    sorted_mat: (E + k, C) sorted entries (k zero rows appended so windows
+    never run off the end). starts: (T,) first entry of each tile.
+    rank_valid: (E,) — entry is within its tile's first ``k`` (rank < k).
+    Returns slots (T, k, C); rows past a tile's segment are garbage that the
+    caller must mask (their gradients are routed to zero exactly).
+    """
+    out, _ = _slice_fwd(sorted_mat, starts, rank_valid, k)
+    return out
+
+
+def _slice_fwd(sorted_mat, starts, rank_valid, k):
+    # starts / rank_valid arrive as float32 so zero cotangents are legal.
+    c = sorted_mat.shape[1]
+    starts_i = starts.astype(jnp.int32)
+    slots = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sorted_mat, (s, 0), (k, c)))(starts_i)
+    return slots, (starts_i, rank_valid > 0.5, sorted_mat.shape[0])
+
+
+def _slice_bwd(k, residuals, d_slots):
+    """Exact slot->entry gradient routing by one sort.
+
+    Valid slots (slot (t, j) with start_t + j a rank<k entry of tile t) have
+    unique keys = their entry index; every entry NOT covered by a valid slot
+    gets a zero-grad filler with its own index as key. The union is exactly
+    {0..E-1}, each once, so after sorting the first E rows ARE d_sorted_mat
+    — no scatter, no searchsorted.
+    """
+    starts, rank_valid, e_pad = residuals
+    t, _, c = d_slots.shape
+    e = rank_valid.shape[0]
+    pos = jnp.arange(k, dtype=jnp.int32)
+    entry_of_slot = starts[:, None] + pos[None, :]              # (T, k)
+    # A slot is valid iff it lands inside its own tile segment: the entry it
+    # reads must belong to tile t AND have rank < k. Equivalent test that
+    # avoids re-deriving counts: the entry index is below the next tile's
+    # start (segments are contiguous) — encode via rank_valid + ownership.
+    next_start = jnp.concatenate([starts[1:], jnp.full((1,), e, jnp.int32)])
+    in_segment = entry_of_slot < next_start[:, None]
+    entry_clamped = jnp.minimum(entry_of_slot, e - 1)
+    slot_valid = in_segment & rank_valid[entry_clamped] & (entry_of_slot < e)
+    del entry_clamped
+    big = jnp.int32(2 ** 30)
+    flat_valid = slot_valid.reshape(-1)
+    slot_keys = jnp.where(flat_valid, entry_of_slot.reshape(-1),
+                          big + jnp.arange(t * k, dtype=jnp.int32))
+    filler_keys = jnp.where(rank_valid, big + big // 2 +
+                            jnp.arange(e, dtype=jnp.int32),
+                            jnp.arange(e, dtype=jnp.int32))
+    keys = jnp.concatenate([slot_keys, filler_keys])
+    grads = jnp.concatenate([
+        d_slots.reshape(t * k, c) * flat_valid[:, None].astype(d_slots.dtype),
+        jnp.zeros((e, c), d_slots.dtype)], axis=0)              # (T*k+E, C)
+    ops = jax.lax.sort((keys,) + tuple(grads.T), num_keys=1)
+    d_sorted = jnp.stack(ops[1:]).T[:e]                         # (E, C)
+    d_sorted = jnp.concatenate(
+        [d_sorted, jnp.zeros((e_pad - e, c), d_sorted.dtype)], axis=0)
+    return (d_sorted, jnp.zeros_like(starts), jnp.zeros(rank_valid.shape,
+                                                        jnp.float32))
+
+
+_slice_tile_segments.defvjp(_slice_fwd, _slice_bwd)
+
+
 def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
                         conics: jnp.ndarray, radii: jnp.ndarray,
                         colors: jnp.ndarray, opacities: jnp.ndarray,
@@ -225,18 +341,159 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
     means2d (N,2), depths (N,), conics (N,3), radii (N,), colors (N,3),
     opacities (N,), visible (N,) -> image dict (rgb/alpha/depth HxWxC).
     Gradients flow to means2d, conics, colors, opacities (and depths via the
-    depth output) — matching the CUDA rasterizer's differentiable inputs.
+    depth output) — matching the CUDA rasterizer's differentiable inputs
+    (SURVEY §2.12 N12).
     """
     num = means2d.shape[0]
-    tile_ids, tile_counts = bin_gaussians(
-        means2d, depths, radii, visible, width, height,
-        max_tiles_per_gaussian, max_per_tile)
-    n_pad = -(-num // 128) * 128
+    k = max_per_tile
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    num_tiles = tiles_x * tiles_y
+    side = int(math.ceil(math.sqrt(max_tiles_per_gaussian)))
+
+    m2d_i = jax.lax.stop_gradient(means2d)
+    dep_i = jax.lax.stop_gradient(depths)
+    rad_i = jax.lax.stop_gradient(radii)
+    t_min_x = jnp.clip(((m2d_i[:, 0] - rad_i) // TILE).astype(jnp.int32),
+                       0, tiles_x - 1)
+    t_max_x = jnp.clip(((m2d_i[:, 0] + rad_i) // TILE).astype(jnp.int32),
+                       0, tiles_x - 1)
+    t_min_y = jnp.clip(((m2d_i[:, 1] - rad_i) // TILE).astype(jnp.int32),
+                       0, tiles_y - 1)
+    t_max_y = jnp.clip(((m2d_i[:, 1] + rad_i) // TILE).astype(jnp.int32),
+                       0, tiles_y - 1)
+    offs = jnp.arange(side, dtype=jnp.int32)
+    ox, oy = jnp.meshgrid(offs, offs, indexing='xy')
+    ox = ox.reshape(-1)[:max_tiles_per_gaussian]
+    oy = oy.reshape(-1)[:max_tiles_per_gaussian]
+    tx = t_min_x[:, None] + ox[None, :]                         # (N, D)
+    ty = t_min_y[:, None] + oy[None, :]
+    dup_valid = (tx <= t_max_x[:, None]) & (ty <= t_max_y[:, None]) & \
+        visible[:, None] & (rad_i[:, None] > 0)
+    tile_of_entry = jnp.where(dup_valid, ty * tiles_x + tx, num_tiles)
+
+    # Entry channels: the attribute payload duplicated per covered tile.
     attrs = jnp.stack([
         means2d[:, 0], means2d[:, 1],
         conics[:, 0], conics[:, 1], conics[:, 2],
         opacities, colors[:, 0], colors[:, 1], colors[:, 2], depths,
-    ], axis=0)                                                  # (10, N)
-    attrs = _pad_to(attrs, n_pad, axis=1)
-    return rasterize_tiles(tile_ids, tile_counts, attrs, num,
-                           width, height, background, tile_chunk)
+    ], axis=0)                                                  # (C=10, N)
+    dup = tile_of_entry.shape[1]
+    channels = jnp.broadcast_to(attrs[:, :, None],
+                                attrs.shape + (dup,)).reshape(10, -1)
+    entry_tile = tile_of_entry.reshape(-1)
+    entry_depth = jnp.broadcast_to(dep_i[:, None],
+                                   tile_of_entry.shape).reshape(-1)
+
+    sorted_tile_f, sorted_ch = _permute_entries(
+        entry_tile.astype(jnp.float32), entry_depth, channels)
+    sorted_tile = sorted_tile_f.astype(jnp.int32)
+    e = entry_tile.shape[0]
+
+    # Per-tile counts via the MXU histogram; starts via exclusive cumsum.
+    from nerficg_tpu.ops.hash_mxu import mxu_scatter_add
+    seg_pad = -(-(num_tiles + 1) // 128) * 128
+    ones = jnp.ones((1, 1, e), jnp.float32)
+    counts = mxu_scatter_add(sorted_tile[None], ones, seg_pad // 128,
+                             compute_dtype=jnp.float32)
+    counts = counts.reshape(seg_pad)[:num_tiles].astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+
+    # Rank of each entry within its tile run (no gather: running segment
+    # start via cumulative max over run boundaries).
+    idx = jnp.arange(e, dtype=jnp.int32)
+    change = jnp.concatenate([jnp.ones(1, bool),
+                              sorted_tile[1:] != sorted_tile[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, idx, 0))
+    rank_valid = (idx - run_start) < k                          # (E,)
+
+    sorted_mat = jnp.concatenate(
+        [sorted_ch.T, jnp.zeros((k, 10), sorted_ch.dtype)], axis=0)
+    slots = _slice_tile_segments(sorted_mat, starts.astype(jnp.float32),
+                                 rank_valid.astype(jnp.float32), k)
+    tile_counts = jnp.minimum(counts, k)
+
+    return _composite_slots(slots, tile_counts, width, height, background,
+                            tile_chunk)
+
+
+def _composite_slots(slots: jnp.ndarray, tile_counts: jnp.ndarray,
+                     width: int, height: int, background: jnp.ndarray,
+                     tile_chunk: int) -> dict:
+    """Dense per-tile front-to-back compositing of (T, K, C=10) slots."""
+    num_tiles, k, f = slots.shape
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    entry_valid = jnp.arange(k)[None, :] < tile_counts[:, None]  # (T, K)
+
+    px = jnp.arange(TILE, dtype=jnp.float32) + 0.5
+    pixel_x, pixel_y = jnp.meshgrid(px, px, indexing='xy')
+    pix = jnp.stack([pixel_x.reshape(-1), pixel_y.reshape(-1)], -1)  # (P, 2)
+    p = pix.shape[0]
+    tile_index = jnp.arange(num_tiles, dtype=jnp.float32)
+    tile_origin = jnp.stack([(jnp.mod(tile_index, tiles_x)) * TILE,
+                             (tile_index // tiles_x) * TILE], -1)
+
+    # Exclusive front-to-back transmittance as a strict-lower-triangular
+    # matmul over log(1 - alpha): one MXU pass instead of an O(log K)
+    # multi-pass cumprod scan over the (C, K, P) tensor (the scan was the
+    # compositing bottleneck: ~40 ms/1080p frame of HBM-bound VPU passes).
+    k_dim = k
+    tril_strict = (jnp.arange(k_dim)[:, None] <
+                   jnp.arange(k_dim)[None, :]).astype(jnp.float32)
+
+    @jax.checkpoint
+    def rasterize_chunk(args):
+        a, valid, origin = args    # (F, C, K), (C, K), (C, 2)
+        mean = a[0:2]
+        conic = a[2:5]
+        opac = a[5]
+        color = a[6:9]
+        depth = a[9]
+        pixels = origin[:, None, :] + pix[None, :, :]           # (C, P, 2)
+        dx = pixels[..., 0][:, None, :] - mean[0][..., None]    # (C, K, P)
+        dy = pixels[..., 1][:, None, :] - mean[1][..., None]
+        power = -0.5 * (conic[0][..., None] * dx * dx +
+                        conic[2][..., None] * dy * dy) - \
+            conic[1][..., None] * dx * dy
+        power = jnp.minimum(power, 0.0)
+        alpha = opac[..., None] * jnp.exp(power)                # (C, K, P)
+        alpha = jnp.clip(alpha, 0.0, 0.99)
+        alpha = jnp.where(valid[..., None], alpha, 0.0)
+        alpha = jnp.where(alpha > 1.0 / 255.0, alpha, 0.0)
+        log_t = jnp.log1p(-alpha)                               # (C, K, P)
+        excl = jnp.einsum('ckp,kq->cqp', log_t, tril_strict,
+                          preferred_element_type=jnp.float32)
+        trans = jnp.exp(excl)
+        w = trans * alpha                                       # (C, K, P)
+        rgb = jnp.einsum('ckp,xck->cpx', w, color)
+        acc = jnp.sum(w, axis=1)
+        d = jnp.einsum('ckp,ck->cp', w, depth)
+        return rgb, acc, d
+
+    chunks = -(-num_tiles // tile_chunk)
+    t_pad = chunks * tile_chunk
+    a_t = _pad_to(slots.transpose(0, 2, 1), t_pad)              # (T', F, K)
+    v_t = _pad_to(entry_valid, t_pad)
+    o_t = _pad_to(tile_origin, t_pad)
+    rgb, acc, dep = jax.lax.map(
+        rasterize_chunk,
+        (a_t.reshape(chunks, tile_chunk, f, k).transpose(0, 2, 1, 3),
+         v_t.reshape(chunks, tile_chunk, k),
+         o_t.reshape(chunks, tile_chunk, 2)))
+    rgb = rgb.reshape(t_pad, p, 3)[:num_tiles]
+    acc = acc.reshape(t_pad, p)[:num_tiles]
+    dep = dep.reshape(t_pad, p)[:num_tiles]
+
+    def to_image(tile_data, chs):
+        img = tile_data.reshape(tiles_y, tiles_x, TILE, TILE, chs)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(
+            tiles_y * TILE, tiles_x * TILE, chs)
+        return img[:height, :width]
+
+    image = to_image(rgb, 3)
+    alpha_img = to_image(acc[..., None], 1)
+    depth_img = to_image(dep[..., None], 1) / jnp.maximum(alpha_img, 1e-10)
+    image = image + (1.0 - alpha_img) * jnp.asarray(background, image.dtype)
+    return {'rgb': image, 'alpha': alpha_img, 'depth': depth_img}

@@ -35,13 +35,22 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ['mxu_gather', 'mxu_scatter_add', 'gather_d', 'scatter_add_d',
            'TILE_M']
 
-TILE_M = 8192   # lookups per kernel step (multiple of 128)
+TILE_M = 8192   # max lookups per kernel step (multiple of 128)
 LANES = 128
 
 
-def _pad_m(x, axis):
+def _pick_tile(rows: int) -> int:
+    """Largest tile whose (rows, tile) one-hot stays within ~4 MB of VMEM
+    (bf16) so the kernel fits the scoped-VMEM budget at any table size."""
+    tile = TILE_M
+    while tile > 512 and rows * tile * 2 > 4 * 1024 * 1024:
+        tile //= 2
+    return tile
+
+
+def _pad_m(x, axis, tile):
     m = x.shape[axis]
-    padded = ((m + TILE_M - 1) // TILE_M) * TILE_M
+    padded = ((m + tile - 1) // tile) * tile
     if padded == m:
         return x, m
     pad = [(0, 0)] * x.ndim
@@ -54,14 +63,14 @@ def _pad_m(x, axis):
 # =============================================================================
 
 def _gather_kernel(idx_ref, table_ref, out_ref, *, num_features, rows,
-                   compute_dtype=jnp.bfloat16):
-    idx = idx_ref[0, 0]                                     # (1, TILE_M) int32
-    hi = (idx >> 7).reshape(1, TILE_M)
-    lo = (idx & (LANES - 1)).reshape(1, TILE_M)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, TILE_M), 0)
-    a_t = (iota_r == hi).astype(compute_dtype)              # (R, TILE_M)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, TILE_M), 0)
-    b_t = (iota_l == lo).astype(jnp.float32)                # (128, TILE_M)
+                   tile, compute_dtype=jnp.bfloat16):
+    idx = idx_ref[0, 0]                                     # (1, tile) int32
+    hi = (idx >> 7).reshape(1, tile)
+    lo = (idx & (LANES - 1)).reshape(1, tile)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, tile), 0)
+    a_t = (iota_r == hi).astype(compute_dtype)              # (R, tile)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, tile), 0)
+    b_t = (iota_l == lo).astype(jnp.float32)                # (128, tile)
     for f in range(num_features):
         table = table_ref[0, f].astype(compute_dtype)       # (R, 128)
         # C_T[lam, m] = sum_r table[r, lam] * A_T[r, m]
@@ -76,26 +85,30 @@ def _mxu_gather_pallas(idx: jnp.ndarray, table: jnp.ndarray,
     """idx (L, M) int32, table (L, F, R, 128) -> out (L, F, M) float32."""
     levels, num_features, rows, lanes = table.shape
     assert lanes == LANES
-    idx_p, m = _pad_m(idx, 1)
+    tile = _pick_tile(rows)
+    idx_p, m = _pad_m(idx, 1, tile)
     m_padded = idx_p.shape[1]
-    # (L, chunks, 1, TILE_M): satisfies the "(..., 1, lane-multiple)" TPU
+    # (L, chunks, 1, tile): satisfies the "(..., 1, lane-multiple)" TPU
     # block-shape constraint while keeping one chunk per grid step.
-    idx_4d = idx_p.reshape(levels, m_padded // TILE_M, 1, TILE_M)
+    idx_4d = idx_p.reshape(levels, m_padded // tile, 1, tile)
     kernel = functools.partial(_gather_kernel, num_features=num_features,
-                               rows=rows, compute_dtype=compute_dtype)
+                               rows=rows, tile=tile,
+                               compute_dtype=compute_dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(levels, m_padded // TILE_M),
+        grid=(levels, m_padded // tile),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, TILE_M), lambda l, i: (l, i, 0, 0),
+            pl.BlockSpec((1, 1, 1, tile), lambda l, i: (l, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_features, rows, LANES), lambda l, i: (l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, num_features, TILE_M), lambda l, i: (l, 0, i),
+        out_specs=pl.BlockSpec((1, num_features, tile), lambda l, i: (l, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((levels, num_features, m_padded),
                                        jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(idx_4d, table)
     return out[:, :, :m]
 
@@ -129,7 +142,7 @@ def mxu_gather(idx: jnp.ndarray, table: jnp.ndarray,
 # =============================================================================
 
 def _scatter_kernel(idx_ref, g_ref, out_ref, *, num_features, rows,
-                    compute_dtype=jnp.bfloat16):
+                    tile, compute_dtype=jnp.bfloat16):
     step = pl.program_id(1)
 
     @pl.when(step == 0)
@@ -137,15 +150,15 @@ def _scatter_kernel(idx_ref, g_ref, out_ref, *, num_features, rows,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     idx = idx_ref[0, 0]
-    hi = (idx >> 7).reshape(1, TILE_M)
-    lo = (idx & (LANES - 1)).reshape(1, TILE_M)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, TILE_M), 0)
-    a_t = (iota_r == hi).astype(compute_dtype)              # (R, TILE_M)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, TILE_M), 0)
-    b_t = (iota_l == lo).astype(jnp.float32)                # (128, TILE_M)
+    hi = (idx >> 7).reshape(1, tile)
+    lo = (idx & (LANES - 1)).reshape(1, tile)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, tile), 0)
+    a_t = (iota_r == hi).astype(compute_dtype)              # (R, tile)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, tile), 0)
+    b_t = (iota_l == lo).astype(jnp.float32)                # (128, tile)
     for f in range(num_features):
-        g = g_ref[0, f].reshape(1, TILE_M)                  # (1, TILE_M)
-        bg_t = (b_t * g).astype(compute_dtype)              # (128, TILE_M)
+        g = g_ref[0, f].reshape(1, tile)                    # (1, tile)
+        bg_t = (b_t * g).astype(compute_dtype)              # (128, tile)
         # dT[r, lam] = sum_m A_T[r, m] * Bg_T[lam, m]
         d_t = jax.lax.dot_general(
             a_t, bg_t, (((1,), (1,)), ((), ())),
@@ -157,23 +170,25 @@ def _mxu_scatter_pallas(idx: jnp.ndarray, g: jnp.ndarray, rows: int,
                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """idx (L, M), g (L, F, M) -> dtable (L, F, R, 128)."""
     levels, num_features, _ = g.shape
-    idx_p, m = _pad_m(idx, 1)
-    g_p, _ = _pad_m(g, 2)   # zero-padded gradients contribute nothing... to row 0
+    tile = _pick_tile(rows)
+    idx_p, m = _pad_m(idx, 1, tile)
+    g_p, _ = _pad_m(g, 2, tile)
     # Padded entries must not contribute: zero their gradient.
     m_padded = idx_p.shape[1]
     if m_padded != m:
         mask = (jnp.arange(m_padded) < m).astype(g.dtype)
         g_p = g_p * mask[None, None, :]
-    idx_4d = idx_p.reshape(levels, m_padded // TILE_M, 1, TILE_M)
+    idx_4d = idx_p.reshape(levels, m_padded // tile, 1, tile)
     kernel = functools.partial(_scatter_kernel, num_features=num_features,
-                               rows=rows, compute_dtype=compute_dtype)
+                               rows=rows, tile=tile,
+                               compute_dtype=compute_dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(levels, m_padded // TILE_M),
+        grid=(levels, m_padded // tile),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, TILE_M), lambda l, i: (l, i, 0, 0),
+            pl.BlockSpec((1, 1, 1, tile), lambda l, i: (l, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_features, TILE_M), lambda l, i: (l, 0, i),
+            pl.BlockSpec((1, num_features, tile), lambda l, i: (l, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, num_features, rows, LANES),
@@ -181,6 +196,8 @@ def _mxu_scatter_pallas(idx: jnp.ndarray, g: jnp.ndarray, rows: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((levels, num_features, rows, LANES),
                                        jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(idx_4d, g_p)
     return out
 
