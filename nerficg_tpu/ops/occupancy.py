@@ -276,7 +276,11 @@ def composite_packed(densities: jnp.ndarray, rgbs: jnp.ndarray,
     is_first = (march.ray_ids != prev_ids).astype(excl.dtype)
     offsets = scatter_add_d(ray_ids, (excl * is_first)[None, None], seg_rows)
     offset_per_sample = gather_d(ray_ids, offsets)[0, 0]         # (B,)
-    trans = jnp.exp(excl - offset_per_sample)
+    # The exponent is <= 0 for real samples; padding samples (segment
+    # num_rays) can have garbage offsets making it hugely positive, and the
+    # resulting inf poisons the VJP even though the forward masks it
+    # (where's backward computes 0 * inf = NaN). Clamp before exp.
+    trans = jnp.exp(jnp.minimum(excl - offset_per_sample, 0.0))
     trans = jnp.where(march.valid, trans, 0.0)
     weights = trans * alpha
     if early_stop_eps > 0.0:
