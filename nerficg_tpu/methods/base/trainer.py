@@ -13,7 +13,6 @@ trainers). Timing uses ``block_until_ready`` instead of cuda.synchronize;
 
 from __future__ import annotations
 
-import pickle
 import time
 from pathlib import Path
 from typing import Optional
@@ -93,6 +92,12 @@ class BaseTrainer(Configurable):
             for meta, callback in gather_callbacks(self, PRE):
                 with self._timer(callback.__name__):
                     callback(dataset)
+        else:
+            # Resume: rebuild dataset-derived state (ray pools, optimizers)
+            # without re-initializing trained parameters, then apply the
+            # loaded optimizer state / host counters.
+            self.on_resume(dataset)
+            self._apply_pending_resume()
 
         main_callbacks = gather_callbacks(self, MAIN)
         try:
@@ -159,33 +164,63 @@ class BaseTrainer(Configurable):
                 f.write(f'{key}: {value}\n')
 
     # -- checkpoint / resume ---------------------------------------------------------
-    def save_training_state(self, path: str | Path) -> None:
+    def save_training_state(self, path: str | Path,
+                            iteration: int | None = None) -> None:
         """Whole-trainer resume file (reference: Trainer.py:94-111): model
-        params + buffers + optimizer state + host counters."""
-        state = {
-            'iteration': self.iteration,
-            'model_params': jax.tree_util.tree_map(np.asarray, self.model.params),
-            'model_buffers': jax.tree_util.tree_map(np.asarray, self.model.buffers),
-            'optimizer_state': jax.tree_util.tree_map(
-                np.asarray, self.get_optimizer_state()),
-            'rng': np.asarray(self.rng),
-        }
-        path = Path(path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        with open(path, 'wb') as f:
-            pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+        params + buffers + optimizer state + host counters. Stored in the
+        same safe npz container as model checkpoints (no pickle).
+        ``iteration`` is the first iteration to run after resume."""
+        save_checkpoint(
+            Path(path), self.model.params,
+            metadata={'iteration': int(self.iteration if iteration is None
+                                       else iteration),
+                      'trainer': type(self).__name__,
+                      'resume_state': self.get_resume_metadata()},
+            extra_trees={'buffers': self.model.buffers,
+                         'optimizer': self.get_optimizer_state(),
+                         'rng': np.asarray(self.rng)})
 
     def load_training_state(self, path: str | Path) -> None:
+        """Restore params/buffers now; optimizer state and host counters are
+        applied in ``run()`` after ``on_resume`` has rebuilt the optimizer
+        (method optimizers may not exist until dataset setup)."""
         import jax.numpy as jnp
-        with open(path, 'rb') as f:
-            state = pickle.load(f)
-        self.iteration = state['iteration']
-        self.model.num_iterations_trained = state['iteration']
-        self.model.params = jax.tree_util.tree_map(jnp.asarray, state['model_params'])
-        self.model.buffers = jax.tree_util.tree_map(jnp.asarray, state['model_buffers'])
-        self.set_optimizer_state(jax.tree_util.tree_map(
-            jnp.asarray, state['optimizer_state']))
-        self.rng = jnp.asarray(state['rng'])
+
+        from nerficg_tpu.core.checkpoint import load_checkpoint
+        payload = load_checkpoint(path)
+        meta = payload['metadata']
+        self.iteration = int(meta['iteration'])
+        self.model.num_iterations_trained = self.iteration
+        self.model.params = payload['params']
+        self.model.buffers = payload['extra'].get('buffers', {})
+        rng = payload['extra'].get('rng', None)
+        if rng is not None and hasattr(rng, 'shape'):
+            self.rng = jnp.asarray(rng)
+        self._pending_resume = {
+            'optimizer': payload['extra'].get('optimizer', {}),
+            'resume_state': meta.get('resume_state', {}),
+        }
+
+    def _apply_pending_resume(self) -> None:
+        pending = getattr(self, '_pending_resume', None)
+        if pending is None:
+            return
+        self.set_resume_metadata(pending['resume_state'] or {})
+        if pending['optimizer']:
+            self.set_optimizer_state(pending['optimizer'])
+        self._pending_resume = None
+
+    def on_resume(self, dataset) -> None:
+        """Rebuild dataset-derived state after ``load_training_state``
+        WITHOUT re-initializing trained parameters; methods override."""
+
+    def get_resume_metadata(self) -> dict:
+        """JSON-serializable host counters to persist in resume files;
+        methods override (e.g. dynamic ray-batch size, SH degree)."""
+        return {}
+
+    def set_resume_metadata(self, meta: dict) -> None:
+        pass
 
     def get_optimizer_state(self):
         """Methods override to expose optimizer state for resume files."""
@@ -214,6 +249,30 @@ class BaseTrainer(Configurable):
     def _wandb_finish(self, dataset) -> None:
         if self._wandb is not None:
             self._wandb.finish()
+
+    @training_callback(priority=6, active='CHECKPOINT.INTERVAL',
+                       start_iteration='CHECKPOINT.INTERVAL',
+                       iteration_stride='CHECKPOINT.INTERVAL')
+    def _periodic_checkpoint(self, dataset, iteration: int) -> None:
+        """Intermediate model checkpoints (reference: Trainer.py:163-171)."""
+        if self.output_dir is not None:
+            self.model.save(
+                self.output_dir / 'checkpoints' / f'{iteration:07d}.ckpt')
+            Logger.verbose(f'iter {iteration}: saved intermediate checkpoint')
+
+    @training_callback(priority=5, active='BACKUP.INTERVAL',
+                       start_iteration='BACKUP.INTERVAL',
+                       iteration_stride='BACKUP.INTERVAL')
+    def _periodic_backup(self, dataset, iteration: int) -> None:
+        """Whole-training-state backup for lossless resume (reference:
+        Trainer.py:94-111, 172-180): a crash mid-run resumes from here via
+        ``train.py --resume``."""
+        if self.output_dir is not None:
+            # iteration+1: this iteration's training callback already ran
+            # (priority 100 > 5), so resume starts at the next one.
+            self.save_training_state(self.output_dir / 'latest.train',
+                                     iteration=iteration + 1)
+            Logger.verbose(f'iter {iteration}: saved training-state backup')
 
     @post_training_callback(priority=1000)
     def _save_final_checkpoint(self, dataset) -> None:

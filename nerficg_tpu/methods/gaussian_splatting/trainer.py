@@ -104,6 +104,29 @@ class GaussianSplattingTrainer(BaseTrainer):
             int(self._config.get_path('GLOBAL.RANDOM_SEED', 42))
             if self._config is not None else 42)
 
+    def on_resume(self, dataset) -> None:
+        """Rebuild the optimizer / densify stats / rng around the restored
+        params WITHOUT re-initializing from the point cloud."""
+        positions = np.stack([v.position for v in dataset.subsets['train']])
+        center = positions.mean(0)
+        self.camera_extent = 1.1 * float(
+            np.linalg.norm(positions - center, axis=-1).max()) or 1.0
+        self._build_optimizer()
+        self._reset_densify_stats()
+        self._np_rng = np.random.default_rng(
+            int(self._config.get_path('GLOBAL.RANDOM_SEED', 42))
+            if self._config is not None else 42)
+
+    def get_resume_metadata(self) -> dict:
+        return {'num_active': int(self.model.num_active),
+                'active_sh_degree': int(self.model.active_sh_degree)}
+
+    def set_resume_metadata(self, meta: dict) -> None:
+        if 'num_active' in meta:
+            self.model.num_active = int(meta['num_active'])
+        if 'active_sh_degree' in meta:
+            self.model.active_sh_degree = int(meta['active_sh_degree'])
+
     def _build_optimizer(self) -> None:
         """Per-group LRs; position LR scaled by camera extent and log-lerp
         decayed (reference: Model.py:121-150)."""
@@ -165,8 +188,15 @@ class GaussianSplattingTrainer(BaseTrainer):
             updates, opt_state = optimizer.update(param_grads, opt_state,
                                                   params)
             params = optax.apply_updates(params, updates)
-            aux['viewspace_grad_norm'] = jnp.linalg.norm(viewspace_grads,
-                                                         axis=-1)
+            # The offset (and hence its gradient) lives in PIXEL space; the
+            # reference rasterizer returns means2D grads in NDC units
+            # (scaled by W/2, H/2), which DENSIFY_GRAD_THRESHOLD=2e-4 is
+            # calibrated for (reference: Trainer.py:30, rasterizer backward).
+            # Convert pixel-space grads to NDC units before taking the norm.
+            ndc_scale = jnp.array([0.5 * intrinsics[4], 0.5 * intrinsics[5]],
+                                  jnp.float32)
+            aux['viewspace_grad_norm'] = jnp.linalg.norm(
+                viewspace_grads * ndc_scale, axis=-1)
             return params, opt_state, aux
 
         self._train_step_cache[key] = train_step
@@ -229,7 +259,12 @@ class GaussianSplattingTrainer(BaseTrainer):
         capacity = self.model.params['positions'].shape[0]
         mask = np.zeros(capacity, bool)
         mask[:self.model.num_active] = True
-        # Zero only the opacity moments (reference resets that group).
+        # Zero the opacity Adam moments: stale second moments would make the
+        # clamped opacities snap back within a few steps (reference:
+        # src/Optim/adam_utils.py:6-20 resets the opacity group's
+        # exp_avg/exp_avg_sq).
+        self.opt_state = reset_rows(self.opt_state, mask,
+                                    param_key='opacities')
         Logger.verbose(f'iter {iteration}: opacity reset')
 
     @training_callback(priority=80, iteration_stride='SH_UPDATE_INTERVAL',

@@ -71,6 +71,18 @@ class InstantNGPTrainer(BaseTrainer):
             self.opt_state = jax.tree_util.tree_unflatten(
                 treedef, jax.tree_util.tree_leaves(state))
 
+    def on_resume(self, dataset) -> None:
+        """Rebuild the ray pool / background / rng; trained params, occupancy
+        buffers and optimizer state come from the resume file."""
+        self._init_samplers(dataset)
+
+    def get_resume_metadata(self) -> dict:
+        return {'rays_per_batch': int(self.rays_per_batch)}
+
+    def set_resume_metadata(self, meta: dict) -> None:
+        if 'rays_per_batch' in meta:
+            self.rays_per_batch = int(meta['rays_per_batch'])
+
     # -- setup ------------------------------------------------------------------------
     @pre_training_callback(priority=4000)
     def _init_samplers(self, dataset) -> None:
@@ -286,9 +298,3 @@ class InstantNGPTrainer(BaseTrainer):
                 f'iter {iteration}: ' +
                 ', '.join(f'{k}={float(v):.4f}' for k, v in logs.items()))
 
-    @training_callback(priority=30, active='CHECKPOINT.INTERVAL',
-                       iteration_stride='CHECKPOINT.INTERVAL')
-    def _save_intermediate(self, dataset, iteration: int) -> None:
-        if self.output_dir is not None and iteration > 0:
-            self.model.save(
-                self.output_dir / 'checkpoints' / f'{iteration:07d}.ckpt')

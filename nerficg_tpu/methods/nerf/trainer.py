@@ -99,6 +99,11 @@ class NeRFTrainer(BaseTrainer):
             self.opt_state = self.optimizer.init(self.model.params)
         self._build_train_step()
 
+    def on_resume(self, dataset) -> None:
+        """Rebuild the ray pool / train step; params + optimizer state come
+        from the resume file (applied after this hook)."""
+        self._init_samplers(dataset)
+
     def _build_train_step(self) -> None:
         renderer = self.renderer
         optimizer = self.optimizer
@@ -177,9 +182,3 @@ class NeRFTrainer(BaseTrainer):
                 Logger.info(f'validation iter {iteration}: '
                             f'psnr={float(mse_to_psnr(jnp.asarray(err))):.3f}')
 
-    @training_callback(priority=30, active='CHECKPOINT.INTERVAL',
-                       iteration_stride='CHECKPOINT.INTERVAL')
-    def _save_intermediate(self, dataset, iteration: int) -> None:
-        if self.output_dir is not None and iteration > 0:
-            self.model.save(
-                self.output_dir / 'checkpoints' / f'{iteration:07d}.ckpt')

@@ -222,7 +222,15 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     cum_blocks = jnp.cumsum(occ_blocks_per_ray)
     ray_complete = cum_blocks <= block_budget
 
-    ray_ids = jnp.where(valid, ray_ids, num_rays)  # padding -> segment R
+    # Only samples of PADDING blocks are remapped to the drop segment R.
+    # In-block invalid samples (occupancy gaps inside a ray) KEEP their real
+    # ray id: their alpha is masked to zero in composite_packed, so they are
+    # harmless there, while remapping them would split a ray into several
+    # runs and corrupt the per-ray transmittance offset (is_first would fire
+    # at every run start and the offsets would sum several prefix values).
+    pad_samples = jnp.broadcast_to(block_valid[:, None],
+                                   (block_budget, block)).reshape(-1)
+    ray_ids = jnp.where(pad_samples, ray_ids, num_rays)
     return MarchResults(positions=out_pos.reshape(-1, 3), directions=out_dirs,
                         ts=out_ts.reshape(-1), deltas=out_dt, ray_ids=ray_ids,
                         valid=valid, num_valid=num_valid,

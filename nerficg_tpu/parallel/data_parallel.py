@@ -29,9 +29,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nerficg_tpu.parallel.mesh import DATA_AXIS
 
 try:  # moved between jax versions
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax >= 0.8
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map  # type: ignore
+    from jax.experimental.shard_map import shard_map  # type: ignore
 
 __all__ = ['make_data_parallel_train_step', 'shard_batch_spec']
 
@@ -65,11 +65,18 @@ def make_data_parallel_train_step(mesh: Mesh,
         params = optax.apply_updates(params, updates)
         return params, opt_state, logs
 
-    mapped = shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P()),
-        out_specs=(P(), P(), P()),
-        check_rep=False)
+    try:  # jax >= 0.8: check_vma; older: check_rep
+        mapped = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False)
+    except TypeError:  # pragma: no cover
+        mapped = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_rep=False)
     return jax.jit(mapped, donate_argnums=(0, 1) if donate else ())
 
 

@@ -147,6 +147,45 @@ class TestDensification:
         assert (mu_np[model.num_active:] == 0.0).all()
 
 
+class TestOpacityResetMoments:
+    def test_reset_rows_zeroes_opacity_moments_multi_transform(self):
+        """After an opacity reset the opacity group's Adam exp_avg/exp_avg_sq
+        must be zero (reference: src/Optim/adam_utils.py:6-20) while other
+        groups' moments survive — mirrors the trainer's multi_transform
+        optimizer layout."""
+        from nerficg_tpu.optim.state_surgery import reset_rows
+        model = _tiny_model(64, 128)
+        keys = list(model.params)
+        opt = optax.multi_transform(
+            {k: optax.adam(1e-3, eps=1e-15) for k in keys},
+            param_labels={k: k for k in keys})
+        state = opt.init(model.params)
+        # One update to make the moments nonzero.
+        grads = jax.tree_util.tree_map(jnp.ones_like, model.params)
+        updates, state = opt.update(grads, state, model.params)
+
+        def moments_of(s, key):
+            out = []
+            for item in jax.tree_util.tree_leaves(
+                    s, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)):
+                if isinstance(item, optax.ScaleByAdamState):
+                    if isinstance(item.mu, dict) and hasattr(
+                            item.mu.get(key, None), 'shape'):
+                        out.append((np.asarray(item.mu[key]),
+                                    np.asarray(item.nu[key])))
+            return out
+
+        assert any(np.abs(mu).sum() > 0 for mu, _ in moments_of(state,
+                                                                'opacities'))
+        mask = np.zeros(128, bool)
+        mask[:model.num_active] = True
+        state = reset_rows(state, mask, param_key='opacities')
+        for mu, nu in moments_of(state, 'opacities'):
+            assert np.abs(mu[:64]).sum() == 0 and np.abs(nu[:64]).sum() == 0
+        assert any(np.abs(mu).sum() > 0
+                   for mu, _ in moments_of(state, 'positions'))
+
+
 class TestGaussianSplattingEndToEnd:
     @pytest.fixture(scope='class')
     def tiny_config(self):
@@ -182,3 +221,61 @@ class TestGaussianSplattingEndToEnd:
         psnr = -10 * np.log10(max(float(np.mean((pred - gt) ** 2)), 1e-10))
         assert np.isfinite(pred).all()
         assert psnr > 14.0, f'GS end-to-end PSNR too low: {psnr:.2f}'
+
+
+class TestBackupResume:
+    def test_periodic_backup_and_lossless_resume(self, synthetic_dataset,
+                                                 tmp_path):
+        """A BACKUP.INTERVAL training-state file is written during training
+        and a FRESH trainer resumes from it (reference: Trainer.py:94-111,
+        172-180) — optimizer moments, sh degree and gaussian count intact."""
+        from nerficg_tpu.core.registry import Datasets, Methods
+        from nerficg_tpu.core.setup import Directories
+        Directories.base = tmp_path / 'output'
+
+        def make_config(num_iterations):
+            return ConfigNode({
+                'GLOBAL': {'METHOD_TYPE': 'GaussianSplatting',
+                           'DATASET_TYPE': 'NeRF', 'RANDOM_SEED': 0,
+                           'LOG_LEVEL': 'SILENT'},
+                'MODEL': {'SH_DEGREE': 2, 'CAPACITY_GRANULARITY': 1024},
+                'RENDERER': {'MAX_PER_TILE': 64, 'TILE_CHUNK': 2},
+                'TRAINING': {'NUM_ITERATIONS': num_iterations,
+                             'RANDOM_POINTS': 256,
+                             'DENSIFY_FROM': 4, 'DENSIFY_UNTIL': 8,
+                             'DENSIFY_INTERVAL': 4,
+                             'OPACITY_RESET_INTERVAL': 10000,
+                             'SH_UPDATE_INTERVAL': 5,
+                             'BACKUP': {'INTERVAL': 10},
+                             'RENDER_TESTSET': False,
+                             'CHECKPOINT': {'FINAL': False},
+                             'PRELOAD_DATASET': False},
+            })
+
+        cfg = make_config(12)
+        dataset = Datasets.get_dataset(cfg, path=str(synthetic_dataset))
+        trainer = Methods.get_training_instance(cfg)
+        trainer.run(dataset)
+        backup = trainer.output_dir / 'latest.train'
+        assert backup.is_file(), 'periodic backup was never written'
+        n_active = trainer.model.num_active
+        sh = trainer.model.active_sh_degree
+
+        cfg2 = make_config(14)
+        trainer2 = Methods.get_training_instance(cfg2)
+        trainer2.load_training_state(backup)
+        assert trainer2.iteration == 11  # backup at iter 10 -> resume at 11
+        trainer2.run(dataset)
+        assert trainer2.model.num_iterations_trained == 14
+        assert trainer2.model.num_active == n_active
+        assert trainer2.model.active_sh_degree >= sh
+        # Optimizer state was restored (nonzero moments exist).
+        total_mu = sum(
+            float(np.abs(np.asarray(item.mu['positions'])).sum())
+            for item in jax.tree_util.tree_leaves(
+                trainer2.opt_state,
+                is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+            if isinstance(item, optax.ScaleByAdamState)
+            and isinstance(item.mu, dict)
+            and hasattr(item.mu.get('positions'), 'shape'))
+        assert total_mu > 0

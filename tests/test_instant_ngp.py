@@ -158,6 +158,42 @@ class TestPackedCompositing:
         np.testing.assert_allclose(np.asarray(out['depth']),
                                    np.asarray(dense['depth']), atol=1e-3)
 
+    def test_matches_dense_with_interleaved_gaps(self, np_rng):
+        """Non-contiguous valid samples (occupancy gaps INSIDE a block) must
+        composite identically to the dense oracle — regression for the
+        per-ray transmittance offset being summed over several runs."""
+        from nerficg_tpu.ops.compositing import composite_rays
+        res = 8
+        R, S = 4, 16
+        origins = jnp.asarray(np.tile([0.0, 0.0, -2.0], (R, 1)), jnp.float32)
+        directions = jnp.asarray(np.tile([0.0, 0.0, 1.0], (R, 1)), jnp.float32)
+        # Checkered occupancy along z -> every other sample is invalid.
+        coords = np.arange(res ** 3)
+        grid = jnp.asarray((coords % res) % 2 == 0)
+        march = march_rays(origins, directions,
+                           jnp.array([-1.0, -1.0, -1.0]),
+                           jnp.array([1.0, 1.0, 1.0]),
+                           grid, res, max_steps=S, sample_budget=R * S)
+        valid = np.asarray(march.valid)
+        assert valid.any() and not valid.all(), 'need interleaved validity'
+        # Gaps must appear INSIDE the per-ray runs, not only at the ends.
+        v0 = valid[:S]
+        first, last = np.argmax(v0), S - 1 - np.argmax(v0[::-1])
+        assert not v0[first:last + 1].all(), 'need an in-run gap'
+        sigma = jnp.asarray(np_rng.random(R * S).astype(np.float32) * 3)
+        rgb = jnp.asarray(np_rng.random((R * S, 3)).astype(np.float32))
+        bg = jnp.array([0.2, 0.4, 0.6])
+        out = composite_packed(sigma, rgb, march, R, background=bg,
+                               early_stop_eps=0.0)
+        dense = composite_rays(rgb.reshape(R, S, 3),
+                               jnp.where(march.valid, sigma, 0.0).reshape(R, S),
+                               march.ts.reshape(R, S),
+                               march.deltas.reshape(R, S), background=bg)
+        np.testing.assert_allclose(np.asarray(out['rgb']),
+                                   np.asarray(dense['rgb']), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out['alpha']),
+                                   np.asarray(dense['alpha']), atol=1e-4)
+
     def test_gradients_flow(self, np_rng):
         res = 8
         origins = jnp.array([[0.0, 0.0, -2.0]] * 2)
