@@ -48,11 +48,19 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     pool_size = 1 << 18
     k1, k2, k3 = jax.random.split(rng, 3)
-    directions = jax.random.normal(k2, (pool_size, 3))
-    directions = directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)
+    # Camera-like rays: origins on a ring outside the scene box, directions
+    # toward random points inside it (mirrors training-ray statistics).
+    angles = jax.random.uniform(k1, (pool_size,), maxval=2 * np.pi)
+    origins = jnp.stack([1.2 * jnp.cos(angles),
+                         jax.random.uniform(k1, (pool_size,), minval=-0.3,
+                                            maxval=0.3),
+                         1.2 * jnp.sin(angles)], axis=-1)
+    targets = jax.random.uniform(k2, (pool_size, 3), minval=-0.4, maxval=0.4)
+    directions = targets - origins
+    directions = directions / jnp.linalg.norm(directions, axis=-1,
+                                              keepdims=True)
     trainer._pool = {
-        'origins': jax.random.normal(k1, (pool_size, 3)) * 0.05 +
-        jnp.array([0.0, 0.0, -1.0]),
+        'origins': origins,
         'directions': directions,
         'rgb': jax.random.uniform(k3, (pool_size, 3)),
         'alpha': None,
@@ -62,22 +70,36 @@ def main() -> None:
     trainer._bg_static = jnp.zeros(3)
     trainer.renderer.bind_background(trainer._bg_static)
     trainer.opt_state = trainer.optimizer.init(trainer.model.params)
-    # Half-occupied grid approximates a mid-training occupancy state.
+    # Mid-training-like occupancy: a thin spherical shell (the carved surface
+    # region of an opaque object, ~8% of the box) rather than random noise —
+    # random occupancy has no skippable structure and benchmarks a worst case
+    # no real scene exhibits.
     res = int(trainer.model.GRID_RESOLUTION)
+    ax = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res - 0.5
+    r2 = (ax[:, None, None] ** 2 + ax[None, :, None] ** 2 +
+          ax[None, None, :] ** 2)
+    shell = (r2 > 0.29 ** 2) & (r2 < 0.31 ** 2)
     trainer.model.buffers['density_grid'] = \
-        jax.random.uniform(rng, (res ** 3,)) * \
-        2.0 * trainer.renderer.density_threshold
+        shell.reshape(-1).astype(jnp.float32) * \
+        4.0 * trainer.renderer.density_threshold
 
-    # Warmup / compile.
-    for i in range(3):
+    # Warmup / compile, and let the dynamic ray-batch sizing settle (the
+    # resizer acts every BATCH_RESIZE_INTERVAL steps with one interval of
+    # pipelined-statistics lag).
+    warmup = 96
+    for i in range(warmup):
         trainer.training_iteration(None, i)
+        # Stop resizing well before the timed window so its last bucket's
+        # train step is compiled during warmup, not inside the measurement.
+        if (i + 1) % 16 == 0 and i < warmup - 20:
+            trainer._resize_batch(None, i)
     float(jnp.sum(trainer.model.params['density_mlp'][0]))
 
-    steps = 30
+    steps = 60
     rays_done = 0
     start = time.perf_counter()
     for i in range(steps):
-        trainer.training_iteration(None, i + 3)
+        trainer.training_iteration(None, warmup + i)
         rays_done += trainer.rays_per_batch
     float(jnp.sum(trainer.model.params['density_mlp'][0]))
     elapsed = time.perf_counter() - start

@@ -24,6 +24,8 @@ from nerficg_tpu.core.config import Configurable
 from nerficg_tpu.methods.base.model import BaseModel
 from nerficg_tpu.ops.encoding import sh_encode
 from nerficg_tpu.ops.hash_fused import hash_encode_fused
+from nerficg_tpu.ops.hash_xbar import (hash_encode_xbar,
+                                       hash_encode_xbar_stochastic)
 from nerficg_tpu.ops.hashgrid import HashGridConfig, init_hash_grid_mxu
 
 __all__ = ['InstantNGPModel', 'trunc_exp']
@@ -62,10 +64,18 @@ def _mlp(ws, x, compute_dtype=jnp.bfloat16):
 @Configurable.configure(
     NUM_LEVELS=16,
     FEATURES_PER_LEVEL=2,
-    # 2^14 per level (reference tcnn default is 2^19): the MXU-factored
-    # encode's cost scales linearly with table size (see ops/hash_mxu.py),
-    # and 2^14 is the paper's quality knee for bounded scenes.
+    # 2^14 per level (reference tcnn default is 2^19): random access beyond
+    # the lane crossbar has no fast TPU primitive (PERF_NOTES.md), so larger
+    # tables pay linearly in the S-loop/one-hot row count.
     LOG2_HASHMAP_SIZE=14,
+    # 'xbar' = crossbar gather encode (ops/hash_xbar.py, default);
+    # 'onehot' = round-1 MXU one-hot encode (ops/hash_fused.py).
+    ENCODING_BACKEND='xbar',
+    # Training-time stochastic trilinear interpolation: number of corners
+    # evaluated per (sample, level) — 1, 2, or 4 (unbiased estimators with
+    # decreasing variance, see ops/hash_xbar.py), or 0 for the exact
+    # 8-corner path. Inference/eval always uses the exact path.
+    STOCHASTIC_CORNERS=2,
     BASE_RESOLUTION=16,
     TARGET_RESOLUTION=2048,
     DENSITY_MLP_WIDTH=64,
@@ -129,12 +139,31 @@ class InstantNGPModel(BaseModel):
         return model
 
     # -- field evaluation (pure) ----------------------------------------------
-    def density(self, params: dict, positions: jnp.ndarray
+    def density(self, params: dict, positions: jnp.ndarray,
+                encode_seed: Optional[jnp.ndarray] = None
                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """positions (N,3) world -> (density (N,), geo features (N, GEO))."""
+        """positions (N,3) world -> (density (N,), geo features (N, GEO)).
+
+        encode_seed: optional int32 scalar array; when given (training
+        steps) and STOCHASTIC_CORNERS > 0, the hash encode evaluates only
+        STOCHASTIC_CORNERS sampled corners per (sample, level) — an
+        unbiased estimator of the trilinear interpolation
+        (see ops/hash_xbar.py).
+        """
         unit = (positions - self.aabb_min) / (self.aabb_max - self.aabb_min)
         unit = jnp.clip(unit, 0.0, 1.0 - 1e-6)
-        feats = hash_encode_fused(params['hash_table'], unit, self.hash_config)
+        if str(self.ENCODING_BACKEND) == 'xbar':
+            n_corners = int(self.STOCHASTIC_CORNERS)
+            if encode_seed is not None and n_corners > 0:
+                feats = hash_encode_xbar_stochastic(
+                    params['hash_table'], unit, encode_seed,
+                    self.hash_config, n_corners)
+            else:
+                feats = hash_encode_xbar(params['hash_table'], unit,
+                                         self.hash_config)
+        else:
+            feats = hash_encode_fused(params['hash_table'], unit,
+                                      self.hash_config)
         h = _mlp(params['density_mlp'], feats)
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]
@@ -147,8 +176,10 @@ class InstantNGPModel(BaseModel):
         return jax.nn.sigmoid(_mlp(params['color_mlp'], x))
 
     def field(self, params: dict, positions: jnp.ndarray,
-              directions: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        sigma, geo = self.density(params, positions)
+              directions: jnp.ndarray,
+              encode_seed: Optional[jnp.ndarray] = None
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        sigma, geo = self.density(params, positions, encode_seed=encode_seed)
         rgb = self.color(params, geo, directions)
         return sigma, rgb
 

@@ -29,9 +29,15 @@ __all__ = ['InstantNGPRenderer']
 
 @Configurable.configure(
     MAX_SAMPLES=512,            # marching steps per ray (reference: 1024)
-    MARCH_RESOLUTION=32,        # coarse skip-grid probed by the marcher
+    MARCH_RESOLUTION=64,        # skip-grid probed by the marcher; bit-packed
+                                # crossbar probes (ops/xbar_gather.py) make 64^3
+                                # affordable (~0.2 VPU-cycles/probe), halving
+                                # the conservative dilation of a 32^3 grid
     AVG_SAMPLES_PER_RAY=32,     # training compaction budget = rays * this
     INFERENCE_SAMPLES_PER_RAY=128,  # larger budget for full-image rendering
+    MARCH_BLOCK=8,              # compaction granularity (steps per block):
+                                # small blocks waste less budget on the thin
+                                # occupied runs of surface-like scenes
     DENSITY_THRESHOLD=0.01,
     EARLY_STOP_EPS=1e-4,
     RAY_BATCH_SIZE=8192,
@@ -52,8 +58,11 @@ class InstantNGPRenderer(BaseRenderer):
             static_argnames=('randomized', 'num_rays'))
         self._update_grid_jit = jax.jit(self._update_grid_impl,
                                         static_argnames=('warmup',))
+        # Skip-grid resolution cannot exceed the density grid's.
+        self._march_res = min(int(self.MARCH_RESOLUTION),
+                              int(self.model.GRID_RESOLUTION))
         self._grid_binary_jit = jax.jit(lambda grid: downsample_occupancy(
-            grid, int(self.model.GRID_RESOLUTION), int(self.MARCH_RESOLUTION),
+            grid, int(self.model.GRID_RESOLUTION), self._march_res,
             self.density_threshold))
         # Density scaled so a cell is "occupied" when alpha over one marching
         # step would be non-negligible (reference: Renderer.py:141-152).
@@ -76,26 +85,40 @@ class InstantNGPRenderer(BaseRenderer):
         n = origins.shape[0] if num_rays is None else num_rays
         budget = n * int(samples_per_ray if samples_per_ray is not None
                          else self.AVG_SAMPLES_PER_RAY)
-        resolution = int(self.MARCH_RESOLUTION) if grid_binary.ndim == 4 \
+        resolution = self._march_res if grid_binary.ndim == 2 \
             else int(self.model.GRID_RESOLUTION)
         march = march_rays(
             origins, directions,
             self.model.aabb_min, self.model.aabb_max,
             grid_binary, resolution,
             max_steps=int(self.MAX_SAMPLES), sample_budget=budget,
-            rng=rng if randomized else None)
-        sigma, rgb = self.model.field(params, march.positions, march.directions)
+            rng=rng if randomized else None, block=int(self.MARCH_BLOCK))
+        # Training steps (randomized) use the stochastic single-corner hash
+        # encode; inference uses the exact 8-corner path (encode_seed=None).
+        encode_seed = jax.random.randint(
+            jax.random.fold_in(rng, 7), (1, 1), 0, 2**31 - 1, jnp.int32) \
+            if randomized else None
+        sigma, rgb = self.model.field(params, march.positions,
+                                      march.directions,
+                                      encode_seed=encode_seed)
         sigma = jnp.where(march.valid, sigma, 0.0)
         out = composite_packed(sigma, rgb, march, n, background=background,
                                early_stop_eps=float(self.EARLY_STOP_EPS))
         out['num_samples'] = march.num_valid
+        out['num_blocks'] = march.num_blocks
         out['ray_mask'] = march.ray_complete[:, None].astype(jnp.float32)
         return out
 
     def _update_grid_impl(self, params: dict, density_grid: jnp.ndarray,
                           rng: jax.Array, warmup: bool = False) -> jnp.ndarray:
+        # Stochastic encode is fine here: the grid is an EMA-max estimate and
+        # the reference queries jittered positions anyway (Renderer.py:252).
+        seed = jax.random.randint(jax.random.fold_in(rng, 11), (1, 1),
+                                  0, 2**31 - 1, jnp.int32)
+
         def query(positions):
-            sigma, _ = self.model.density(params, positions)
+            sigma, _ = self.model.density(params, positions,
+                                          encode_seed=seed)
             return sigma
         return update_density_grid(
             density_grid, query, self.model.aabb_min, self.model.aabb_max,
@@ -105,9 +128,15 @@ class InstantNGPRenderer(BaseRenderer):
 
     # -- public API ------------------------------------------------------------------
     def grid_binary(self) -> jnp.ndarray:
-        """Coarse marching skip-grid in the MXU table layout (see
-        ops.occupancy.downsample_occupancy + occupancy_lookup_mxu)."""
-        return self._grid_binary_jit(self.model.buffers['density_grid'])
+        """Coarse marching skip-grid as a bit-packed bitfield (see
+        ops.occupancy.downsample_occupancy + ops.xbar_gather). Cached: the
+        grid only changes on update_occupancy_grid, and recomputing it every
+        step costs a dispatch."""
+        grid = self.model.buffers['density_grid']
+        if getattr(self, '_grid_cache_key', None) != id(grid):
+            self._grid_binary_cache = self._grid_binary_jit(grid)
+            self._grid_cache_key = id(grid)
+        return self._grid_binary_cache
 
     def update_occupancy_grid(self, rng: jax.Array, warmup: bool = False) -> None:
         """(reference: Renderer.py:245-272)"""

@@ -60,6 +60,7 @@ class InstantNGPTrainer(BaseTrainer):
         self.rays_per_batch = int(self.INITIAL_RAYS_PER_BATCH)
         self._measured_samples: list[float] = []
         self._measured_mask_frac: list[float] = []
+        self._measured_blocks: list[float] = []
 
     def get_optimizer_state(self):
         return self.opt_state if self.opt_state is not None else {}
@@ -160,6 +161,7 @@ class InstantNGPTrainer(BaseTrainer):
                               'total': loss,
                               'psnr': mse_to_psnr(color),
                               'num_samples': out['num_samples'],
+                              'num_blocks': out['num_blocks'],
                               'ray_mask_frac': jnp.mean(mask)}
 
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -213,6 +215,7 @@ class InstantNGPTrainer(BaseTrainer):
                 return loss, {'color': color, 'weight_decay': wd,
                               'total': loss, 'psnr': mse_to_psnr(color),
                               'num_samples': out['num_samples'],
+                              'num_blocks': out['num_blocks'],
                               'ray_mask_frac': jnp.mean(mask)}
 
             return jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -260,6 +263,8 @@ class InstantNGPTrainer(BaseTrainer):
         # every step and halve throughput (fetched in _resize_batch).
         self._measured_samples.append(logs['num_samples'])
         self._measured_mask_frac.append(logs['ray_mask_frac'])
+        self._measured_blocks.append(logs.get('num_blocks',
+                                              logs['num_samples']))
 
     @training_callback(priority=90, iteration_stride='BATCH_RESIZE_INTERVAL',
                        start_iteration='BATCH_RESIZE_INTERVAL')
@@ -270,25 +275,49 @@ class InstantNGPTrainer(BaseTrainer):
         when rays overflow their per-ray share, grow when there is headroom."""
         if not self._measured_samples:
             return
-        mean_samples = max(float(jnp.mean(jnp.stack(self._measured_samples))),
-                           1.0)
-        mask_frac = float(jnp.mean(jnp.stack(self._measured_mask_frac))) \
-            if self._measured_mask_frac else 1.0
+        # Pipelined statistics fetch: a synchronous device->host round trip
+        # costs ~27 ms through the tunnel (PERF_NOTES.md), so we start an
+        # async copy of this interval's stats and make the resize decision on
+        # the PREVIOUS interval's (already-landed) values — one interval of
+        # lag, zero stalls.
+        stats = jnp.stack(
+            [jnp.mean(jnp.stack(self._measured_samples).astype(jnp.float32)),
+             jnp.mean(jnp.stack(self._measured_mask_frac))
+             if self._measured_mask_frac else jnp.ones(()),
+             jnp.mean(jnp.stack(self._measured_blocks).astype(jnp.float32))])
+        try:
+            stats.copy_to_host_async()
+        except AttributeError:
+            pass
+        prev = getattr(self, '_pending_stats', None)
+        self._pending_stats = (stats, self.rays_per_batch)
         self._measured_samples.clear()
         self._measured_mask_frac.clear()
+        self._measured_blocks.clear()
+        if prev is None:
+            return
+        prev_stats, prev_rays = prev
         n = self.rays_per_batch
-        if mask_frac < 0.95:
-            bucket = max(n // 2, 256)
-        elif mask_frac > 0.995 and \
-                mean_samples < 0.5 * float(self.TARGET_BATCH_SIZE):
-            bucket = min(n * 2, int(self.MAX_RAYS_PER_BATCH))
-        else:
-            bucket = n
+        if prev_rays != n:
+            return                    # stats are from a different bucket
+        prev_stats = np.asarray(prev_stats)
+        mean_blocks = max(float(prev_stats[2]), 1.0)
+        mask_frac = float(prev_stats[1])
+        # Aim the batch at full budget utilization (the reference adjusts
+        # rays/batch = target_samples / measured_samples_per_ray,
+        # InstantNGP/Trainer.py:73-78; here the budget is consumed at block
+        # granularity, so the signal is occupied blocks per ray).
+        budget_blocks = (int(self.TARGET_BATCH_SIZE)
+                         // int(self.renderer.MARCH_BLOCK))
+        blocks_per_ray = mean_blocks / n
+        desired = budget_blocks / blocks_per_ray
+        bucket = 1 << int(np.round(np.log2(max(desired, 256))))
+        bucket = int(np.clip(bucket, 256, int(self.MAX_RAYS_PER_BATCH)))
         if bucket != n:
             Logger.verbose(f'iter {iteration}: rays/batch {n} -> {bucket} '
                            f'(mask {mask_frac:.3f}, '
-                           f'{mean_samples / n:.1f} samples/ray)')
-            self.rays_per_batch = int(bucket)
+                           f'{blocks_per_ray:.1f} blocks/ray)')
+            self.rays_per_batch = bucket
 
     @training_callback(priority=50, iteration_stride='LOG_INTERVAL')
     def _log_progress(self, dataset, iteration: int) -> None:

@@ -42,6 +42,8 @@ class MarchResults(NamedTuple):
     valid: jnp.ndarray        # (B,) bool validity
     num_valid: jnp.ndarray    # () number of real samples
     ray_complete: jnp.ndarray  # (R,) bool: ray's samples all fit the budget
+    num_blocks: jnp.ndarray   # () occupied blocks over the whole batch
+                              # (budget utilization = num_blocks*block/budget)
 
 
 def _hash_jitter(flat_ids: jnp.ndarray, seed) -> jnp.ndarray:
@@ -91,19 +93,21 @@ def occupancy_lookup_mxu(grid_f32: jnp.ndarray, positions_unit: jnp.ndarray,
 
 def downsample_occupancy(density_grid: jnp.ndarray, resolution: int,
                          march_resolution: int, threshold: float) -> jnp.ndarray:
-    """Max-pool the (res^3,) density grid to a coarse marching skip-grid in
-    the MXU table layout (1, 1, mres^3/128, 128) float 0/1.
+    """Max-pool the (res^3,) density grid to a coarse marching skip-grid as
+    a bit-packed (mres^3/32/128, 128) int32 bitfield (ops/xbar_gather.py).
 
     The fine grid thresholds density for compositing quality; the coarse grid
     only needs to be conservative (a coarse cell is occupied if ANY child is).
+    Bit packing shrinks the crossbar gather extent 32x vs one word per cell
+    (reference equivalent: the ``packbits`` CUDA kernel, raymarching.cu:123).
     """
+    from nerficg_tpu.ops.xbar_gather import pack_bits
     factor = resolution // march_resolution
     g = density_grid.reshape(resolution, resolution, resolution)
     g = g.reshape(march_resolution, factor, march_resolution, factor,
                   march_resolution, factor)
     coarse = g.max(axis=(1, 3, 5))
-    binary = (coarse > threshold).astype(jnp.float32).reshape(-1)
-    return binary.reshape(1, 1, -1, 128)
+    return pack_bits((coarse > threshold).reshape(-1))
 
 
 def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
@@ -155,8 +159,9 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     positions = origins[:, None, :] + directions[:, None, :] * ts[..., None]
     unit = (positions - aabb_min) / (aabb_max - aabb_min)
     in_box = jnp.all((unit >= 0.0) & (unit < 1.0), axis=-1)
-    if grid_binary.ndim == 4:
-        occupied = occupancy_lookup_mxu(grid_binary, unit, grid_resolution)
+    if grid_binary.ndim == 2:
+        from nerficg_tpu.ops.xbar_gather import occupancy_probe
+        occupied = occupancy_probe(grid_binary, unit, grid_resolution)
     else:
         occupied = occupancy_lookup(grid_binary, unit, grid_resolution)
     mask = occupied & in_box & hit[:, None]                    # (R, S)
@@ -202,8 +207,9 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     # second probe over the budget) so partially-filled blocks are masked.
     unit_s = (out_pos - aabb_min) / (aabb_max - aabb_min)
     in_box_s = jnp.all((unit_s >= 0.0) & (unit_s < 1.0), axis=-1)
-    if grid_binary.ndim == 4:
-        occ_s = occupancy_lookup_mxu(grid_binary, unit_s, grid_resolution)
+    if grid_binary.ndim == 2:
+        from nerficg_tpu.ops.xbar_gather import occupancy_probe
+        occ_s = occupancy_probe(grid_binary, unit_s, grid_resolution)
     else:
         occ_s = occupancy_lookup(grid_binary, unit_s, grid_resolution)
     valid = occ_s & in_box_s & block_valid[:, None]            # (Bb, block)
@@ -221,6 +227,7 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     occ_blocks_per_ray = block_mask3.any(axis=2).sum(axis=1)
     cum_blocks = jnp.cumsum(occ_blocks_per_ray)
     ray_complete = cum_blocks <= block_budget
+    num_blocks = cum_blocks[-1]
 
     # Only samples of PADDING blocks are remapped to the drop segment R.
     # In-block invalid samples (occupancy gaps inside a ray) KEEP their real
@@ -234,7 +241,7 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     return MarchResults(positions=out_pos.reshape(-1, 3), directions=out_dirs,
                         ts=out_ts.reshape(-1), deltas=out_dt, ray_ids=ray_ids,
                         valid=valid, num_valid=num_valid,
-                        ray_complete=ray_complete)
+                        ray_complete=ray_complete, num_blocks=num_blocks)
 
 
 def _ray_aabb(origins, directions, aabb_min, aabb_max, min_near):
@@ -327,13 +334,16 @@ def update_density_grid(density_grid: jnp.ndarray,
     total = resolution ** 3
     k_cells, k_jitter = jax.random.split(rng)
     if warmup:
-        cells = jnp.arange(total, dtype=jnp.int32)
-    else:
-        # Uniform cell sampling. The reference additionally biases half the
-        # samples toward currently-occupied cells (Renderer.py:252-258); a
-        # categorical over res^3 logits is prohibitively slow on TPU, and for
-        # bounded scenes uniform refresh converges equivalently.
-        cells = jax.random.randint(k_cells, (num_samples,), 0, total)
+        num_samples = total
+    num_samples = min(num_samples, total)
+    # Rotating contiguous slab refresh with a random circular start: XLA's
+    # scatter-max over random cells is serial on TPU (~100ns/row), while a
+    # roll + dense slice update is a pure copy. Every cell is refreshed with
+    # equal probability; the divergence from the reference's
+    # uniform+occupied-biased sampling (Renderer.py:252-258) is only in the
+    # correlation structure of which cells refresh together.
+    start = jax.random.randint(k_cells, (), 0, total, jnp.int32)
+    cells = (start + jnp.arange(num_samples, dtype=jnp.int32)) % total
 
     # Cell centers with intra-cell jitter.
     z = cells % resolution
@@ -346,5 +356,7 @@ def update_density_grid(density_grid: jnp.ndarray,
     new_density = query_fn(positions)
 
     decayed = density_grid * decay
-    # .max handles duplicate sampled cells correctly (take the largest query).
-    return decayed.at[cells].max(new_density)
+    rolled = jnp.roll(decayed, -start)
+    rolled = jax.lax.dynamic_update_slice(
+        rolled, jnp.maximum(rolled[:num_samples], new_density), (0,))
+    return jnp.roll(rolled, start)

