@@ -33,6 +33,7 @@ _BUILTIN_METHOD_MODULES = {
     'NeRF': 'nerficg_tpu.methods.nerf',
     'InstantNGP': 'nerficg_tpu.methods.instant_ngp',
     'GaussianSplatting': 'nerficg_tpu.methods.gaussian_splatting',
+    'DNeRF': 'nerficg_tpu.methods.dnerf',
 }
 _BUILTIN_DATASET_MODULES = {
     'NeRF': 'nerficg_tpu.data.loaders.nerf',

@@ -24,14 +24,23 @@ __all__ = ['NeRFDataset', 'opengl_to_colmap']
 
 OPENGL_TO_COLMAP = np.diag(np.array([1.0, -1.0, -1.0, 1.0]))
 
+# Blender -> COLMAP world rotation (reference: Datasets/NeRF.py:50-56).
+# Training is rotation-invariant, but exported poses / point clouds /
+# trajectories must live in the same world frame as the reference's.
+BLENDER_TO_COLMAP_WORLD = np.array([
+    [1.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, -1.0, 0.0],
+    [0.0, 1.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 1.0],
+])
+
 
 def opengl_to_colmap(c2w: np.ndarray) -> np.ndarray:
-    """Flip camera y/z axes: OpenGL (y up, z backward) -> COLMAP (y down,
-    z forward) (reference: Datasets/NeRF.py:60-66)."""
-    out = np.asarray(c2w, dtype=np.float64).copy()
-    out[:3, 1] *= -1.0
-    out[:3, 2] *= -1.0
-    return out
+    """Blender/OpenGL camera-to-world -> COLMAP: flip camera y/z axes AND
+    apply the Blender->COLMAP world rotation
+    (reference: Datasets/NeRF.py:50-56,66: world @ c2w @ cam_transform)."""
+    out = np.asarray(c2w, dtype=np.float64)
+    return BLENDER_TO_COLMAP_WORLD @ out @ OPENGL_TO_COLMAP
 
 
 @register_dataset('NeRF')

@@ -44,7 +44,10 @@ __all__ = ['BaseTrainer']
     BACKUP={'INTERVAL': None},
     TIMING={'ACTIVATE': True},
     WANDB={'ACTIVATE': False, 'INTERVAL': 100, 'PROJECT': 'nerficg_tpu',
-           'LOG_IMAGES': False},
+           'LOG_IMAGES': False, 'IMAGE_INTERVAL': 1000,
+           'INDEX_TRAINING': 0, 'INDEX_VALIDATION': 0,
+           'SWEEP_MODE': {'ACTIVE': False, 'START_ITERATION': 1000,
+                          'ITERATION_STRIDE': 5000, 'NUM_IMAGES': 0}},
     RENDER_TESTSET=True,
     RENDER_VALSET=False,
     PRELOAD_DATASET=True,
@@ -100,16 +103,35 @@ class BaseTrainer(Configurable):
             self._apply_pending_resume()
 
         main_callbacks = gather_callbacks(self, MAIN)
+        # Optional jax.profiler trace of a window of steps (SURVEY §5.1):
+        # TIMING.PROFILE = start iteration (trace covers PROFILE_STEPS its).
+        profile_at = self.TIMING.get('PROFILE', None)
+        profile_steps = int(self.TIMING.get('PROFILE_STEPS', 5))
+        profiling = False
         try:
             progress = Logger.progress(range(self.iteration, num_iterations),
                                        desc='training', total=num_iterations)
             for iteration in progress:
                 self.iteration = iteration
+                if profile_at is not None and self.output_dir is not None:
+                    if iteration == int(profile_at):
+                        jax.profiler.start_trace(
+                            str(self.output_dir / 'profile'))
+                        profiling = True
+                    elif profiling and \
+                            iteration == int(profile_at) + profile_steps:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        Logger.info(f'wrote profiler trace to '
+                                    f'{self.output_dir / "profile"}')
                 for meta, callback in main_callbacks:
                     if meta.is_due(iteration):
                         with self._timer(callback.__name__):
                             callback(dataset, iteration)
                 self.model.num_iterations_trained = iteration + 1
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
         except KeyboardInterrupt:
             # Finish post-training cleanly (reference: Trainer.py:248-249).
             Logger.warning('training interrupted; running post-training callbacks')
@@ -244,6 +266,84 @@ class BaseTrainer(Configurable):
         if self._wandb is not None and self._wandb.active and logs:
             self._wandb.log({k: float(v) for k, v in logs.items()},
                             step=iteration)
+
+    @training_callback(priority=9, active='WANDB.ACTIVATE',
+                       iteration_stride='WANDB.IMAGE_INTERVAL')
+    def _wandb_log_images(self, dataset, iteration: int) -> None:
+        """Train/validation render grids (reference: Trainer.py:308-346):
+        rendered outputs side by side with the ground-truth image."""
+        if self._wandb is None or not self._wandb.active or \
+                not self.WANDB.get('LOG_IMAGES', False):
+            return
+        import numpy as np
+
+        for mode, idx_key, name in (
+                ('train', 'INDEX_TRAINING', 'training'),
+                ('val', 'INDEX_VALIDATION', 'validation')):
+            getattr(dataset, mode)()
+            if not dataset.views:
+                continue
+            index = int(self.WANDB.get(idx_key, 0)) % len(dataset.views)
+            view = dataset.views[index]
+            out = self.renderer.render_image(view)
+            panels = [np.asarray(out['rgb'])]
+            if view.rgb_data.exists():
+                panels.append(np.asarray(view.rgb))
+            grid = np.concatenate(
+                [np.clip(p, 0.0, 1.0) for p in panels], axis=1)
+            self._wandb.log_image(name, grid, step=iteration)
+        dataset.train()
+
+    @training_callback(priority=8, active='WANDB.SWEEP_MODE.ACTIVE',
+                       start_iteration='WANDB.SWEEP_MODE.START_ITERATION',
+                       iteration_stride='WANDB.SWEEP_MODE.ITERATION_STRIDE')
+    def _wandb_sweep_metrics(self, dataset, iteration: int) -> None:
+        """Test-set PSNR/SSIM(/LPIPS) + the MipNeRF geometric-mean combined
+        metric for hyperparameter sweeps (reference: Trainer.py:353-395)."""
+        if self._wandb is None or not self._wandb.active:
+            Logger.warning('sweep mode requires wandb; skipping test metrics')
+            return
+        import math
+        import random as _random
+
+        import numpy as np
+
+        from nerficg_tpu.optim.metrics import (lpips, lpips_available,
+                                               psnr, ssim)
+        dataset.test()
+        if not dataset.views:
+            dataset.train()
+            return
+        indices = list(range(len(dataset.views)))
+        cap = int(self.WANDB['SWEEP_MODE'].get('NUM_IMAGES', 0))
+        if 0 < cap < len(indices):
+            indices = _random.sample(indices, k=cap)
+        psnrs, ssims, lpipss = [], [], []
+        for i in indices:
+            view = dataset.views[i]
+            pred = np.clip(np.asarray(
+                self.renderer.render_image(view)['rgb']), 0.0, 1.0)
+            gt = np.asarray(view.rgb)
+            if view.alpha_data.exists():
+                alpha = np.asarray(view.alpha)
+                bg = np.asarray(view.camera.background_color)
+                gt = gt * alpha + bg * (1.0 - alpha)
+            psnrs.append(float(psnr(pred, gt)))
+            ssims.append(float(ssim(pred, gt)))
+            if lpips_available():
+                lpipss.append(float(lpips(pred, gt)))
+        m_psnr = sum(psnrs) / len(psnrs)
+        m_ssim = sum(ssims) / len(ssims)
+        m_lpips = sum(lpipss) / len(lpipss) if lpipss else float('nan')
+        terms = [-0.1 * math.log(10.0) * m_psnr,
+                 math.log(math.sqrt(max(1.0 - m_ssim, 1e-12)))]
+        if lpipss:
+            terms.append(math.log(max(m_lpips, 1e-12)))
+        combined = math.exp(sum(terms) / len(terms))
+        self._wandb.log({'test_psnr': m_psnr, 'test_ssim': m_ssim,
+                         'test_lpips': m_lpips,
+                         'combined_metrics': combined}, step=iteration)
+        dataset.train()
 
     @post_training_callback(priority=100)
     def _wandb_finish(self, dataset) -> None:

@@ -25,7 +25,9 @@ from nerficg_tpu.methods.base.model import BaseModel
 from nerficg_tpu.ops.encoding import sh_encode
 from nerficg_tpu.ops.hash_fused import hash_encode_fused
 from nerficg_tpu.ops.hash_xbar import (hash_encode_xbar,
-                                       hash_encode_xbar_stochastic)
+                                       hash_encode_xbar_posgrad,
+                                       hash_encode_xbar_stochastic,
+                                       hash_encode_xbar_stochastic_posgrad)
 from nerficg_tpu.ops.hashgrid import HashGridConfig, init_hash_grid_mxu
 
 __all__ = ['InstantNGPModel', 'trunc_exp']
@@ -90,6 +92,10 @@ def _mlp(ws, x, compute_dtype=jnp.bfloat16):
 )
 class InstantNGPModel(BaseModel):
 
+    # Dynamic methods (deformation fields) override this so the hash encode
+    # backward also produces position gradients (ops/hash_xbar.py).
+    NEEDS_POS_GRAD = False
+
     def build(self, rng: Optional[jax.Array] = None) -> 'InstantNGPModel':
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -113,11 +119,18 @@ class InstantNGPModel(BaseModel):
                           _init_linear(k_c3, cw, 3)],
         }
         resolution = int(self.GRID_RESOLUTION)
+        # Multi-cascade occupancy for unbounded scenes: cascade c covers the
+        # box of half-extent SCALE * 2^(c - (C-1)); cascade C-1 is the full
+        # scene box (reference: InstantNGP/Model.py:53-57).
+        from nerficg_tpu.ops.occupancy import num_cascades
+        self.cascades = num_cascades(float(self.SCALE))
         self.buffers = {
-            'density_grid': jnp.zeros((resolution ** 3,), jnp.float32),
+            'density_grid': jnp.zeros((self.cascades * resolution ** 3,),
+                                      jnp.float32),
         }
         center = np.asarray(self.CENTER, np.float32)
         scale = float(self.SCALE)
+        self.center = jnp.asarray(center, jnp.float32)
         self.aabb_min = jnp.asarray(center - scale, jnp.float32)
         self.aabb_max = jnp.asarray(center + scale, jnp.float32)
         return self
@@ -155,12 +168,17 @@ class InstantNGPModel(BaseModel):
         if str(self.ENCODING_BACKEND) == 'xbar':
             n_corners = int(self.STOCHASTIC_CORNERS)
             if encode_seed is not None and n_corners > 0:
-                feats = hash_encode_xbar_stochastic(
-                    params['hash_table'], unit, encode_seed,
-                    self.hash_config, n_corners)
+                enc = hash_encode_xbar_stochastic_posgrad \
+                    if self.NEEDS_POS_GRAD else hash_encode_xbar_stochastic
+                feats = enc(params['hash_table'], unit, encode_seed,
+                            self.hash_config, n_corners) \
+                    if self.NEEDS_POS_GRAD else enc(
+                        params['hash_table'], unit, encode_seed,
+                        self.hash_config, n_corners)
             else:
-                feats = hash_encode_xbar(params['hash_table'], unit,
-                                         self.hash_config)
+                enc = hash_encode_xbar_posgrad if self.NEEDS_POS_GRAD \
+                    else hash_encode_xbar
+                feats = enc(params['hash_table'], unit, self.hash_config)
         else:
             feats = hash_encode_fused(params['hash_table'], unit,
                                       self.hash_config)

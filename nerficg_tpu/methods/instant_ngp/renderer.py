@@ -21,8 +21,12 @@ from nerficg_tpu.core.config import Configurable
 from nerficg_tpu.data.types import RayBatch, View
 from nerficg_tpu.methods.base.renderer import BaseRenderer
 from nerficg_tpu.methods.instant_ngp.model import InstantNGPModel
-from nerficg_tpu.ops.occupancy import (composite_packed, downsample_occupancy,
-                                       march_rays, update_density_grid)
+from nerficg_tpu.ops.occupancy import (cascade_cell_positions,
+                                       composite_packed,
+                                       downsample_occupancy,
+                                       downsample_occupancy_cascaded,
+                                       march_rays, occupancy_probe_cascaded,
+                                       update_density_grid)
 
 __all__ = ['InstantNGPRenderer']
 
@@ -43,6 +47,9 @@ __all__ = ['InstantNGPRenderer']
     RAY_BATCH_SIZE=8192,
     OCCUPANCY_DECAY=0.95,
     OCCUPANCY_SAMPLES=262144,   # cells refreshed per update
+    EXPONENTIAL_STEPS=None,     # None = auto (on for multi-cascade scenes);
+                                # reference: Renderer.py:141-152
+    CARVE_OCCUPANCY=True,       # frustum-carve the grid from training views
 )
 class InstantNGPRenderer(BaseRenderer):
 
@@ -61,9 +68,18 @@ class InstantNGPRenderer(BaseRenderer):
         # Skip-grid resolution cannot exceed the density grid's.
         self._march_res = min(int(self.MARCH_RESOLUTION),
                               int(self.model.GRID_RESOLUTION))
-        self._grid_binary_jit = jax.jit(lambda grid: downsample_occupancy(
-            grid, int(self.model.GRID_RESOLUTION), self._march_res,
-            self.density_threshold))
+        self._cascades = int(getattr(self.model, 'cascades', 1))
+        exp = self.EXPONENTIAL_STEPS
+        self._exponential = bool(self._cascades > 1 if exp is None else exp)
+        if self._cascades > 1:
+            self._grid_binary_jit = jax.jit(
+                lambda grid: downsample_occupancy_cascaded(
+                    grid, int(self.model.GRID_RESOLUTION), self._march_res,
+                    self.density_threshold, self._cascades))
+        else:
+            self._grid_binary_jit = jax.jit(lambda grid: downsample_occupancy(
+                grid, int(self.model.GRID_RESOLUTION), self._march_res,
+                self.density_threshold))
         # Density scaled so a cell is "occupied" when alpha over one marching
         # step would be non-negligible (reference: Renderer.py:141-152).
         self._density_scale = float(self.MAX_SAMPLES) / (3.0 ** 0.5)
@@ -81,26 +97,44 @@ class InstantNGPRenderer(BaseRenderer):
                           rng: jax.Array, background: jnp.ndarray,
                           randomized: bool = True,
                           num_rays: int | None = None,
-                          samples_per_ray: int | None = None) -> dict:
+                          samples_per_ray: int | None = None,
+                          timestamps: jnp.ndarray | None = None) -> dict:
         n = origins.shape[0] if num_rays is None else num_rays
         budget = n * int(samples_per_ray if samples_per_ray is not None
                          else self.AVG_SAMPLES_PER_RAY)
-        resolution = self._march_res if grid_binary.ndim == 2 \
+        resolution = self._march_res if grid_binary.ndim >= 2 \
             else int(self.model.GRID_RESOLUTION)
+        probe_fn = None
+        if grid_binary.ndim == 3:      # (C, words, 128) cascaded bitfields
+            probe_fn = lambda pos: occupancy_probe_cascaded(
+                grid_binary, pos, self.model.center, float(self.model.SCALE),
+                resolution)
         march = march_rays(
             origins, directions,
             self.model.aabb_min, self.model.aabb_max,
             grid_binary, resolution,
             max_steps=int(self.MAX_SAMPLES), sample_budget=budget,
-            rng=rng if randomized else None, block=int(self.MARCH_BLOCK))
+            rng=rng if randomized else None, block=int(self.MARCH_BLOCK),
+            exponential=self._exponential, probe_fn=probe_fn)
         # Training steps (randomized) use the stochastic single-corner hash
         # encode; inference uses the exact 8-corner path (encode_seed=None).
         encode_seed = jax.random.randint(
             jax.random.fold_in(rng, 7), (1, 1), 0, 2**31 - 1, jnp.int32) \
             if randomized else None
-        sigma, rgb = self.model.field(params, march.positions,
-                                      march.directions,
-                                      encode_seed=encode_seed)
+        sample_times = None
+        if timestamps is not None:
+            # Per-sample timestamps: fetch the owning ray's time with the MXU
+            # factored gather (XLA row gather is serial on TPU).
+            from nerficg_tpu.ops.hash_mxu import mxu_gather
+            rows = -(-n // 128)
+            t_table = jnp.pad(timestamps.reshape(-1),
+                              (0, rows * 128 - n + 128))[None, None]
+            t_table = t_table.reshape(1, 1, -1, 128)
+            safe_ids = jnp.minimum(march.ray_ids, rows * 128 - 1)
+            sample_times = mxu_gather(safe_ids[None], t_table,
+                                      compute_dtype=jnp.float32)[0, 0]
+        sigma, rgb = self._field(params, march.positions, march.directions,
+                                 encode_seed, sample_times)
         sigma = jnp.where(march.valid, sigma, 0.0)
         out = composite_packed(sigma, rgb, march, n, background=background,
                                early_stop_eps=float(self.EARLY_STOP_EPS))
@@ -109,8 +143,17 @@ class InstantNGPRenderer(BaseRenderer):
         out['ray_mask'] = march.ray_complete[:, None].astype(jnp.float32)
         return out
 
+    def _field(self, params, positions, directions, encode_seed,
+               sample_times):
+        """Field-evaluation hook; dynamic methods override to consume the
+        per-sample timestamps (methods/dnerf)."""
+        del sample_times
+        return self.model.field(params, positions, directions,
+                                encode_seed=encode_seed)
+
     def _update_grid_impl(self, params: dict, density_grid: jnp.ndarray,
-                          rng: jax.Array, warmup: bool = False) -> jnp.ndarray:
+                          rng: jax.Array, carve_mask=None,
+                          warmup: bool = False) -> jnp.ndarray:
         # Stochastic encode is fine here: the grid is an EMA-max estimate and
         # the reference queries jittered positions anyway (Renderer.py:252).
         seed = jax.random.randint(jax.random.fold_in(rng, 11), (1, 1),
@@ -120,11 +163,18 @@ class InstantNGPRenderer(BaseRenderer):
             sigma, _ = self.model.density(params, positions,
                                           encode_seed=seed)
             return sigma
+
+        position_fn = None
+        if self._cascades > 1:
+            position_fn = lambda cells, offs: cascade_cell_positions(
+                cells, offs, self.model.center, float(self.model.SCALE),
+                int(self.model.GRID_RESOLUTION), self._cascades)
         return update_density_grid(
             density_grid, query, self.model.aabb_min, self.model.aabb_max,
             int(self.model.GRID_RESOLUTION), rng,
             num_samples=int(self.OCCUPANCY_SAMPLES),
-            decay=float(self.OCCUPANCY_DECAY), warmup=warmup)
+            decay=float(self.OCCUPANCY_DECAY), warmup=warmup,
+            position_fn=position_fn, carve_mask=carve_mask)
 
     # -- public API ------------------------------------------------------------------
     def grid_binary(self) -> jnp.ndarray:
@@ -142,7 +192,47 @@ class InstantNGPRenderer(BaseRenderer):
         """(reference: Renderer.py:245-272)"""
         self.model.buffers['density_grid'] = self._update_grid_jit(
             self.model.params, self.model.buffers['density_grid'], rng,
-            warmup=warmup)
+            self.model.buffers.get('carve_mask'), warmup=warmup)
+
+
+    def carve_occupancy_grid(self, views, dilate: int = 1) -> None:
+        """Frustum carving: cells outside every training camera frustum are
+        marked permanently empty (reference: InstantNGP/Renderer.py:207-243,
+        carve_occupancy_grid with 2D+3D dilation).
+
+        Stores a {0,1} mask buffer consumed by the occupancy updates."""
+        import numpy as np
+
+        res = int(self.model.GRID_RESOLUTION)
+        cascades = self._cascades
+        total = cascades * res ** 3
+        cells = jnp.arange(total, dtype=jnp.int32)
+        centers = cascade_cell_positions(
+            cells, jnp.full((total, 3), 0.5), self.model.center,
+            float(self.model.SCALE), res, cascades)
+        centers_np = np.asarray(centers, np.float64)
+        visible = np.zeros(total, bool)
+        for view in views:
+            pix = view.project_points(centers_np)       # (N, 3) [x, y, depth]
+            w, h = view.camera.width, view.camera.height
+            margin = 0.1 * max(w, h)
+            inside = (pix[:, 2] > 0) & \
+                (pix[:, 0] > -margin) & (pix[:, 0] < w + margin) & \
+                (pix[:, 1] > -margin) & (pix[:, 1] < h + margin)
+            visible |= inside
+        mask = jnp.asarray(visible.reshape(cascades, res, res, res),
+                           jnp.float32)
+        # Conservative 3D dilation by ``dilate`` cells (6-neighborhood).
+        for _ in range(max(dilate, 0)):
+            m = mask
+            for axis in (1, 2, 3):
+                m = jnp.maximum(m, jnp.roll(mask, 1, axis))
+                m = jnp.maximum(m, jnp.roll(mask, -1, axis))
+            mask = m
+        self.model.buffers['carve_mask'] = mask.reshape(-1)
+        frac = float(jnp.mean(mask))
+        from nerficg_tpu.core.logging import Logger
+        Logger.verbose(f'occupancy carve: {frac * 100:.1f}% of cells visible')
 
     def render_rays(self, rays: RayBatch, rng: Optional[jax.Array] = None,
                     randomized: bool = False,
@@ -162,11 +252,14 @@ class InstantNGPRenderer(BaseRenderer):
         rays_p = rays.pad_to(padded)
         outputs = []
         for i in range(0, padded, chunk):
+            ts_chunk = rays_p.timestamps[i:i + chunk] \
+                if rays_p.timestamps is not None else None
             out = self._render_infer_jit(self.model.params, grid,
                                          rays_p.origins[i:i + chunk],
                                          rays_p.directions[i:i + chunk],
                                          jax.random.fold_in(rng, i), bg,
-                                         randomized=randomized)
+                                         randomized=randomized,
+                                         timestamps=ts_chunk)
             outputs.append({k: v for k, v in out.items()
                             if k in ('rgb', 'depth', 'alpha')})
         return {k: jnp.concatenate([o[k] for o in outputs], axis=0)[:n]

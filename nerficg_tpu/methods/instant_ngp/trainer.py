@@ -94,6 +94,8 @@ class InstantNGPTrainer(BaseTrainer):
             'directions': jnp.asarray(rays.directions),
             'rgb': jnp.asarray(rays.rgb) if rays.rgb is not None else None,
             'alpha': jnp.asarray(rays.alpha) if rays.alpha is not None else None,
+            'timestamps': jnp.asarray(rays.timestamps)
+            if rays.timestamps is not None else None,
         }
         self._pool_size = int(self._pool['origins'].shape[0])
         seed = int(self._config.get_path('GLOBAL.RANDOM_SEED', 42)) \
@@ -104,6 +106,15 @@ class InstantNGPTrainer(BaseTrainer):
         self.renderer.bind_background(self._bg_static)
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.model.params)
+
+    @pre_training_callback(priority=3500)
+    def _carve_occupancy(self, dataset) -> None:
+        """Frustum-carve the grid from the training views before the warmup
+        refresh (reference: InstantNGP/Renderer.py:207-243)."""
+        if dataset is not None and bool(self.renderer.CARVE_OCCUPANCY):
+            views = dataset.train().views
+            if views:
+                self.renderer.carve_occupancy_grid(views)
 
     @pre_training_callback(priority=3000)
     def _warmup_occupancy(self, dataset) -> None:
@@ -129,6 +140,7 @@ class InstantNGPTrainer(BaseTrainer):
         optimizer = self.optimizer
         weight_decay = float(self.WEIGHT_DECAY)
         has_alpha = self._pool['alpha'] is not None
+        has_time = self._pool.get('timestamps') is not None
         # The TOTAL sample budget stays at TARGET_BATCH_SIZE regardless of the
         # ray count (mirrors the reference's global sample counter semantics,
         # InstantNGP/Trainer.py:73-78): fewer rays -> more samples per ray.
@@ -141,6 +153,7 @@ class InstantNGPTrainer(BaseTrainer):
             origins = pool['origins'][ids]
             directions = pool['directions'][ids]
             target = pool['rgb'][ids]
+            times = pool['timestamps'][ids] if has_time else None
             if has_alpha:
                 alpha = pool['alpha'][ids]
                 target = target * alpha + bg * (1.0 - alpha)
@@ -149,7 +162,7 @@ class InstantNGPTrainer(BaseTrainer):
                 out = renderer._render_rays_impl(
                     p, grid_binary, origins, directions, rng, bg,
                     randomized=True, num_rays=num_rays,
-                    samples_per_ray=samples_per_ray)
+                    samples_per_ray=samples_per_ray, timestamps=times)
                 # Exclude rays whose samples were truncated by the compaction
                 # budget — they would otherwise train toward black.
                 mask = out['ray_mask']
@@ -187,6 +200,7 @@ class InstantNGPTrainer(BaseTrainer):
         renderer = self.renderer
         weight_decay = float(self.WEIGHT_DECAY)
         has_alpha = self._pool['alpha'] is not None
+        has_time = self._pool.get('timestamps') is not None
         samples_per_ray = min(
             max(int(self.TARGET_BATCH_SIZE) // num_rays, 4),
             int(renderer.MAX_SAMPLES))
@@ -198,6 +212,7 @@ class InstantNGPTrainer(BaseTrainer):
             directions = pool['directions'][0][ids]
             target = pool['rgb'][0][ids]
             bg = batch['bg'][0]
+            times = pool['timestamps'][0][ids] if has_time else None
             if has_alpha:
                 alpha = pool['alpha'][0][ids]
                 target = target * alpha + bg * (1.0 - alpha)
@@ -206,7 +221,7 @@ class InstantNGPTrainer(BaseTrainer):
                 out = renderer._render_rays_impl(
                     p, batch['grid'][0], origins, directions, rng, bg,
                     randomized=True, num_rays=local_rays,
-                    samples_per_ray=samples_per_ray)
+                    samples_per_ray=samples_per_ray, timestamps=times)
                 mask = out['ray_mask']
                 err = (out['rgb'] - target) ** 2 * mask
                 color = jnp.sum(err) / jnp.maximum(jnp.sum(mask) * 3.0, 1.0)
@@ -285,10 +300,11 @@ class InstantNGPTrainer(BaseTrainer):
              jnp.mean(jnp.stack(self._measured_mask_frac))
              if self._measured_mask_frac else jnp.ones(()),
              jnp.mean(jnp.stack(self._measured_blocks).astype(jnp.float32))])
-        try:
-            stats.copy_to_host_async()
-        except AttributeError:
-            pass
+        if jax.default_backend() == 'tpu':
+            try:
+                stats.copy_to_host_async()
+            except AttributeError:
+                pass
         prev = getattr(self, '_pending_stats', None)
         self._pending_stats = (stats, self.rays_per_batch)
         self._measured_samples.clear()

@@ -421,70 +421,27 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
 def _composite_slots(slots: jnp.ndarray, tile_counts: jnp.ndarray,
                      width: int, height: int, background: jnp.ndarray,
                      tile_chunk: int) -> dict:
-    """Dense per-tile front-to-back compositing of (T, K, C=10) slots."""
+    """Per-tile front-to-back compositing of (T, K, C=10) slots.
+
+    Delegates to the fused Pallas kernel (ops/gs_tiles_kernel.py): one grid
+    step composites one 16x16 tile entirely in VMEM, with a hand-derived
+    backward kernel — the (K, P) alpha/transmittance intermediates never
+    touch HBM (the round-1 jnp chunked path moved ~10 GB/frame at 1080p).
+    """
+    from nerficg_tpu.ops.gs_tiles_kernel import composite_tiles
     num_tiles, k, f = slots.shape
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
-    entry_valid = jnp.arange(k)[None, :] < tile_counts[:, None]  # (T, K)
-
-    px = jnp.arange(TILE, dtype=jnp.float32) + 0.5
-    pixel_x, pixel_y = jnp.meshgrid(px, px, indexing='xy')
-    pix = jnp.stack([pixel_x.reshape(-1), pixel_y.reshape(-1)], -1)  # (P, 2)
-    p = pix.shape[0]
+    p = TILE * TILE
     tile_index = jnp.arange(num_tiles, dtype=jnp.float32)
     tile_origin = jnp.stack([(jnp.mod(tile_index, tiles_x)) * TILE,
                              (tile_index // tiles_x) * TILE], -1)
 
-    # Exclusive front-to-back transmittance as a strict-lower-triangular
-    # matmul over log(1 - alpha): one MXU pass instead of an O(log K)
-    # multi-pass cumprod scan over the (C, K, P) tensor (the scan was the
-    # compositing bottleneck: ~40 ms/1080p frame of HBM-bound VPU passes).
-    k_dim = k
-    tril_strict = (jnp.arange(k_dim)[:, None] <
-                   jnp.arange(k_dim)[None, :]).astype(jnp.float32)
-
-    @jax.checkpoint
-    def rasterize_chunk(args):
-        a, valid, origin = args    # (F, C, K), (C, K), (C, 2)
-        mean = a[0:2]
-        conic = a[2:5]
-        opac = a[5]
-        color = a[6:9]
-        depth = a[9]
-        pixels = origin[:, None, :] + pix[None, :, :]           # (C, P, 2)
-        dx = pixels[..., 0][:, None, :] - mean[0][..., None]    # (C, K, P)
-        dy = pixels[..., 1][:, None, :] - mean[1][..., None]
-        power = -0.5 * (conic[0][..., None] * dx * dx +
-                        conic[2][..., None] * dy * dy) - \
-            conic[1][..., None] * dx * dy
-        power = jnp.minimum(power, 0.0)
-        alpha = opac[..., None] * jnp.exp(power)                # (C, K, P)
-        alpha = jnp.clip(alpha, 0.0, 0.99)
-        alpha = jnp.where(valid[..., None], alpha, 0.0)
-        alpha = jnp.where(alpha > 1.0 / 255.0, alpha, 0.0)
-        log_t = jnp.log1p(-alpha)                               # (C, K, P)
-        excl = jnp.einsum('ckp,kq->cqp', log_t, tril_strict,
-                          preferred_element_type=jnp.float32)
-        trans = jnp.exp(excl)
-        w = trans * alpha                                       # (C, K, P)
-        rgb = jnp.einsum('ckp,xck->cpx', w, color)
-        acc = jnp.sum(w, axis=1)
-        d = jnp.einsum('ckp,ck->cp', w, depth)
-        return rgb, acc, d
-
-    chunks = -(-num_tiles // tile_chunk)
-    t_pad = chunks * tile_chunk
-    a_t = _pad_to(slots.transpose(0, 2, 1), t_pad)              # (T', F, K)
-    v_t = _pad_to(entry_valid, t_pad)
-    o_t = _pad_to(tile_origin, t_pad)
-    rgb, acc, dep = jax.lax.map(
-        rasterize_chunk,
-        (a_t.reshape(chunks, tile_chunk, f, k).transpose(0, 2, 1, 3),
-         v_t.reshape(chunks, tile_chunk, k),
-         o_t.reshape(chunks, tile_chunk, 2)))
-    rgb = rgb.reshape(t_pad, p, 3)[:num_tiles]
-    acc = acc.reshape(t_pad, p)[:num_tiles]
-    dep = dep.reshape(t_pad, p)[:num_tiles]
+    out = composite_tiles(slots, tile_counts, tile_origin,
+                          tiles_x)                              # (T, 8, P)
+    rgb = out[:, 0:3].transpose(0, 2, 1)                        # (T, P, 3)
+    acc = out[:, 3]                                             # (T, P)
+    dep = out[:, 4]
 
     def to_image(tile_data, chs):
         img = tile_data.reshape(tiles_y, tiles_x, TILE, TILE, chs)

@@ -1,0 +1,339 @@
+"""Fused per-tile 3DGS compositing kernels (Pallas, TPU).
+
+Reference equivalent: the per-tile rasterize/blend stage of
+diff-gaussian-rasterization (SURVEY §2.12 N12) — forward front-to-back
+alpha blending and the hand-derived backward that accumulates Gaussian
+gradients.
+
+Why a kernel: the jnp compositor materializes (tile_chunk, K, P) alpha /
+transmittance / weight tensors between ops; at 1080p x K=256 that is
+~10 GB of HBM traffic per frame (measured 45.8 ms inference, 304 ms
+fwd+bwd).  Here each grid step composites ONE 16x16 tile entirely in
+VMEM — the (K, P) intermediates never touch HBM — and the Gaussian list
+is processed in chunks of CH=64 with a *dynamic* trip count, so tiles
+only pay for the Gaussians they actually contain (the fixed-K version
+measured 10.7 ms/1080p frame; mean occupancy is ~0.4K).
+
+Transmittance per chunk is a strict-lower-triangular matmul on the MXU
+seeded with the running log-transmittance carried across chunks.  The
+backward implements the classic suffix-sum formulation,
+
+    dL/dalpha_j = g_j T_j - S_j / (1 - alpha_j),
+    S_j = sum_{k>j} g_k w_k,
+    g_k = <dL/drgb, color_k> + dL/dacc + d_k dL/ddepth,
+
+with a forward pass recording per-chunk log-transmittance offsets and a
+reverse chunk sweep carrying the running suffix sum.
+
+Slot layout (matches rasterize_gaussians): rows
+[mean_x, mean_y, conic_a, conic_b, conic_c, opacity, r, g, b, depth].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['composite_tiles']
+
+TILE = 16
+P = TILE * TILE           # pixels per tile
+ROWS = 16                 # padded attribute rows (10 used)
+CH = 128                  # gaussians per chunk (dynamic trip count;
+                          # 128 = lane granularity of dynamic slices)
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+
+
+def _pixel_grids(origin_x, origin_y):
+    """(1, P) pixel-center coordinates of a tile at (origin_x, origin_y)."""
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = origin_x + (pid % TILE).astype(jnp.float32) + 0.5
+    py = origin_y + (pid // TILE).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _origin(t, tiles_x):
+    ox = ((t % tiles_x) * TILE).astype(jnp.float32)
+    oy = ((t // tiles_x) * TILE).astype(jnp.float32)
+    return ox, oy
+
+
+def _chunk_geometry(chunk_t, count, k_offset, px, py):
+    """chunk_t (CH, ROWS) attrs -> alpha/ep/dx/dy/active, all (CH, P)."""
+    mx = chunk_t[:, 0:1]
+    my = chunk_t[:, 1:2]
+    ca = chunk_t[:, 2:3]
+    cb = chunk_t[:, 3:4]
+    cc = chunk_t[:, 4:5]
+    op = chunk_t[:, 5:6]
+    dx = px - mx                               # (CH, P)
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    power = jnp.minimum(power, 0.0)
+    ep = jnp.exp(power)
+    a_raw = op * ep
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) + k_offset
+    valid = (iota_k < count).astype(jnp.float32)
+    active = (a_raw > ALPHA_MIN) & (a_raw < ALPHA_MAX)
+    alpha = jnp.where(a_raw > ALPHA_MIN,
+                      jnp.minimum(a_raw, ALPHA_MAX), 0.0) * valid
+    return alpha, ep, dx, dy, active & (valid > 0.5)
+
+
+def _fwd_kernel(counts_ref, slots_ref, tril_ref, out_ref, *, k, tiles_x):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    ox, oy = _origin(t, tiles_x)
+    px, py = _pixel_grids(ox, oy)
+    tril = tril_ref[:]
+    n_chunks = (count + CH - 1) // CH
+
+    def body(c, carry):
+        log_acc, rgb, acc, dep = carry
+        chunk = slots_ref[0, :, pl.ds(pl.multiple_of(c * CH, CH), CH)]
+        chunk_t = chunk.T                                # (CH, ROWS)
+        alpha, _, _, _, _ = _chunk_geometry(chunk_t, count, c * CH, px, py)
+        log_t = jnp.log1p(-alpha)
+        excl = log_acc + jax.lax.dot_general(
+            tril, log_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (CH, P)
+        w = jnp.exp(excl) * alpha
+        color = chunk[6:9]                               # (3, CH)
+        depth = chunk[9:10]
+        rgb = rgb + jax.lax.dot_general(
+            color, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dep = dep + jax.lax.dot_general(
+            depth, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jnp.sum(w, axis=0, keepdims=True)
+        log_acc = log_acc + jnp.sum(log_t, axis=0, keepdims=True)
+        return log_acc, rgb, acc, dep
+
+    zeros1 = jnp.zeros((1, P), jnp.float32)
+    _, rgb, acc, dep = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (zeros1, jnp.zeros((3, P), jnp.float32), zeros1, zeros1))
+    out_ref[0, 0:3] = rgb
+    out_ref[0, 3:4] = acc
+    out_ref[0, 4:5] = dep
+    out_ref[0, 5:8] = jnp.zeros((3, P), jnp.float32)
+
+
+def _bwd_kernel(counts_ref, slots_ref, tril_ref, dout_ref, dslots_ref,
+                log_scratch, *, k, tiles_x):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    ox, oy = _origin(t, tiles_x)
+    px, py = _pixel_grids(ox, oy)
+    tril = tril_ref[:]
+    n_chunks = (count + CH - 1) // CH
+    dslots_ref[0] = jnp.zeros((ROWS, k), jnp.float32)
+
+    # Pass 1: record the starting log-transmittance of each chunk.
+    def fwd_body(c, log_acc):
+        chunk_t = slots_ref[0, :, pl.ds(pl.multiple_of(c * CH, CH), CH)].T
+        alpha, _, _, _, _ = _chunk_geometry(chunk_t, count, c * CH, px, py)
+        log_scratch[pl.ds(c, 1), :] = log_acc
+        return log_acc + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.zeros((1, P), jnp.float32))
+
+    dcol = dout_ref[0, 0:3]                    # (3, P)
+    dacc = dout_ref[0, 3:4]
+    ddep = dout_ref[0, 4:5]
+
+    # Pass 2: reverse chunk sweep carrying the suffix sum S.
+    def rev_body(i, s_after):
+        c = n_chunks - 1 - i
+        chunk = slots_ref[0, :, pl.ds(pl.multiple_of(c * CH, CH), CH)]
+        chunk_t = chunk.T
+        alpha, ep, dx, dy, active = _chunk_geometry(chunk_t, count, c * CH,
+                                                    px, py)
+        log_t = jnp.log1p(-alpha)
+        excl = log_scratch[pl.ds(c, 1), :] + jax.lax.dot_general(
+            tril, log_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        trans = jnp.exp(excl)
+        w = trans * alpha
+        color_t = chunk_t[:, 6:9]              # (CH, 3)
+        depth_c = chunk_t[:, 9:10]
+        g = jax.lax.dot_general(color_t, dcol, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        g = g + dacc + depth_c * ddep          # (CH, P)
+        gw = g * w
+        s_within = jax.lax.dot_general(        # S over later entries in chunk
+            tril, gw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_total = s_within + s_after
+        dalpha = jnp.where(active, g * trans - s_total / (1.0 - alpha), 0.0)
+
+        op = chunk_t[:, 5:6]
+        ca = chunk_t[:, 2:3]
+        cb = chunk_t[:, 3:4]
+        cc = chunk_t[:, 4:5]
+        dop = jnp.sum(dalpha * ep, axis=1, keepdims=True)
+        dpow = dalpha * op * ep
+        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
+        dcb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
+        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
+        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
+        dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=1, keepdims=True)
+        dcolor = jax.lax.dot_general(w, dcol, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        ddepth = jax.lax.dot_general(w, ddep, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        dchunk_t = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dop, dcolor, ddepth,
+             jnp.zeros((CH, ROWS - 10), jnp.float32)], axis=1)  # (CH, ROWS)
+        dslots_ref[0, :, pl.ds(pl.multiple_of(c * CH, CH), CH)] = \
+            dchunk_t.T
+        return s_after + jnp.sum(gw, axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, rev_body, jnp.zeros((1, P), jnp.float32))
+
+
+def _run_fwd(slots_r, counts, tiles_x, k):
+    num_tiles = slots_r.shape[0]
+    tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
+            ).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, k), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, CH), lambda t, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, tiles_x=tiles_x),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(counts, slots_r, tril)
+
+
+def _run_bwd(slots_r, counts, tiles_x, dout, k):
+    num_tiles = slots_r.shape[0]
+    tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
+            ).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, k), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, CH), lambda t, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS, k), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((k // CH, P), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, k=k, tiles_x=tiles_x),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, ROWS, k), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(counts, slots_r, tril, dout)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference (CPU fallback + oracle)
+# ---------------------------------------------------------------------------
+
+def _composite_jnp(slots, counts, origins):
+    """slots (T, K, 10), counts (T,), origins (T, 2) -> (T, 8, P)."""
+    num_tiles, k, _ = slots.shape
+    px = jnp.arange(TILE, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(px, px, indexing='xy')
+    pix = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)     # (P, 2)
+
+    def per_tile(s, count, origin):
+        mean = s[:, 0:2]
+        conic = s[:, 2:5]
+        op = s[:, 5]
+        color = s[:, 6:9]
+        depth = s[:, 9]
+        pxy = origin[None, :] + pix                           # (P, 2)
+        dx = pxy[None, :, 0] - mean[:, 0:1]                   # (K, P)
+        dy = pxy[None, :, 1] - mean[:, 1:2]
+        power = -0.5 * (conic[:, 0:1] * dx * dx +
+                        conic[:, 2:3] * dy * dy) - conic[:, 1:2] * dx * dy
+        power = jnp.minimum(power, 0.0)
+        a_raw = op[:, None] * jnp.exp(power)
+        valid = (jnp.arange(k) < count)[:, None]
+        alpha = jnp.where((a_raw > ALPHA_MIN) & valid,
+                          jnp.minimum(a_raw, ALPHA_MAX), 0.0)
+        trans = jnp.cumprod(1.0 - alpha, axis=0)
+        trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]], 0)
+        w = trans * alpha
+        rgb = jnp.einsum('kp,kc->cp', w, color)
+        acc = jnp.sum(w, axis=0, keepdims=True)
+        dep = jnp.einsum('kp,k->p', w, depth)[None]
+        return jnp.concatenate(
+            [rgb, acc, dep, jnp.zeros((3, P), slots.dtype)], axis=0)
+
+    return jax.vmap(per_tile)(slots, counts, origins)
+
+
+# ---------------------------------------------------------------------------
+# public differentiable API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def composite_tiles(slots: jnp.ndarray, counts: jnp.ndarray,
+                    origins: jnp.ndarray, tiles_x: int) -> jnp.ndarray:
+    """Fused per-tile compositing.
+
+    slots (T, K, 10) f32, counts (T,) int32, origins (T, 2) f32 (row-major
+    tile origins; the kernel re-derives them from ``tiles_x``) ->
+    (T, 8, P) with rows [r, g, b, acc, weighted_depth, 0, 0, 0].
+    Differentiable in slots.  K must be a multiple of CH (64).
+    """
+    out, _ = _ct_fwd(slots, counts, origins, tiles_x)
+    return out
+
+
+def _slots_to_rows(slots):
+    t, k, f = slots.shape
+    r = slots.transpose(0, 2, 1)                                # (T, 10, K)
+    return jnp.concatenate(
+        [r, jnp.zeros((t, ROWS - f, k), slots.dtype)], axis=1)  # (T, 16, K)
+
+
+def _ct_fwd(slots, counts, origins, tiles_x):
+    if jax.default_backend() == 'tpu':
+        out = _run_fwd(_slots_to_rows(slots), counts.astype(jnp.int32),
+                       tiles_x, slots.shape[1])
+    else:
+        out = _composite_jnp(slots, counts, origins)
+    return out, (slots, counts, origins)
+
+
+def _ct_bwd(tiles_x, res, dout):
+    slots, counts, origins = res
+    if jax.default_backend() == 'tpu':
+        dslots_r = _run_bwd(_slots_to_rows(slots), counts.astype(jnp.int32),
+                            tiles_x, dout, slots.shape[1])
+        dslots = dslots_r[:, :10].transpose(0, 2, 1)
+    else:
+        dslots = jax.vjp(
+            lambda s: _composite_jnp(s, counts, origins), slots)[1](dout)[0]
+    return dslots, None, None
+
+
+composite_tiles.defvjp(_ct_fwd, _ct_bwd)

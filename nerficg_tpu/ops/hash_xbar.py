@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nerficg_tpu.ops.hashgrid import HashGridConfig
 
 __all__ = ['hash_encode_xbar', 'hash_encode_xbar_stochastic',
+           'hash_encode_xbar_posgrad', 'hash_encode_xbar_stochastic_posgrad',
            'level_layout', 'XBAR_TILE_N']
 
 XBAR_TILE_N = 65536         # samples per grid step (large tiles amortize
@@ -230,6 +231,69 @@ def _stoch_corners(frac, n_corners: int):
         corners.append(tuple(corner))
         weights.append(w)
     return corners, weights
+
+
+def _corner_set(frac3, n_corners: int):
+    """Corners + weights + per-dim lerp factors and their frac-derivatives.
+
+    n_corners == 0 -> exact 8-corner trilinear; otherwise the stochastic
+    estimator of _stoch_corners.  factors[c][d] is the dim-d weight factor
+    of corner c (1 for Bernoulli-sampled dims) and dfactors[c][d] its
+    derivative wrt frac_d (+-1 for interpolated dims, 0 for sampled dims —
+    the pathwise/straight-through position gradient).
+    """
+    ones = jnp.ones_like(frac3[0])
+    if n_corners == 0:
+        corners = list(_CORNERS)
+        weights, factors, dfactors = [], [], []
+        for cc in corners:
+            fs = [frac3[d] if cc[d] else 1.0 - frac3[d] for d in range(3)]
+            dfs = [ones if cc[d] else -ones for d in range(3)]
+            weights.append(fs[0] * fs[1] * fs[2])
+            factors.append(fs)
+            dfactors.append(dfs)
+        return corners, weights, factors, dfactors
+    corners, weights = _stoch_corners(frac3, n_corners)
+    factors, dfactors = [], []
+    for cc in corners:
+        fs, dfs = [], []
+        for d in range(3):
+            o_d = cc[d]
+            w_d = jnp.where(o_d == 1, frac3[d], 1.0 - frac3[d])
+            s_d = jnp.where(o_d == 1, 1.0, -1.0)
+            if n_corners == 1:
+                fs.append(ones)
+                dfs.append(jnp.zeros_like(ones))
+            else:
+                # interpolated dims carry their lerp factor; sampled dims
+                # contribute factor 1 and no pathwise derivative. A dim is
+                # interpolated iff its factor participates in the weight —
+                # recover that by comparing weights (cheap + exact): handled
+                # by the caller passing exact masks is avoided by recomputing
+                # the same argmax/argmin masks here.
+                fs.append(w_d)
+                dfs.append(s_d)
+        factors.append(fs)
+        dfactors.append(dfs)
+    if n_corners in (2, 4):
+        # Recompute the exact-dim masks (same pure function of frac).
+        m = [jnp.minimum(f, 1.0 - f) for f in frac3]
+        if n_corners == 2:
+            k0 = (m[0] >= m[1]) & (m[0] >= m[2])
+            k1 = jnp.logical_not(k0) & (m[1] >= m[2])
+            k2 = jnp.logical_not(k0) & jnp.logical_not(k1)
+            exact = [k0, k1, k2]
+        else:
+            s0 = (m[0] <= m[1]) & (m[0] <= m[2])
+            s1 = jnp.logical_not(s0) & (m[1] <= m[2])
+            s2 = jnp.logical_not(s0) & jnp.logical_not(s1)
+            exact = [jnp.logical_not(s0), jnp.logical_not(s1),
+                     jnp.logical_not(s2)]
+        for c in range(len(corners)):
+            for d in range(3):
+                factors[c][d] = jnp.where(exact[d], factors[c][d], 1.0)
+                dfactors[c][d] = jnp.where(exact[d], dfactors[c][d], 0.0)
+    return corners, weights, factors, dfactors
 
 
 # ---------------------------------------------------------------------------
@@ -460,6 +524,149 @@ def _bwd_pallas(table_shape, positions, g, config, seed, n_corners):
 
 
 # ---------------------------------------------------------------------------
+# position-gradient kernel (dynamic methods: deformation fields need
+# d(encode)/d(position); the plain encode returns zeros for speed)
+# ---------------------------------------------------------------------------
+
+def _bwd_pos_kernel(res_ref, rows_ref, dense_ref, seed_ref, pos_ref,
+                    tab_ref, g_ref, dpos_ref, *, n_corners: int):
+    lvl = pl.program_id(0)
+    tile = pl.program_id(1)
+
+    @pl.when(lvl == 0)
+    def _():
+        dpos_ref[...] = jnp.zeros_like(dpos_ref)
+
+    res_m1 = res_ref[lvl, 0]
+    rows = rows_ref[lvl, 0]
+    dense = dense_ref[lvl, 0]
+    res1_i = (res_m1 + 2.0).astype(jnp.int32)
+    pos = pos_ref[:]
+    base, frac = _kernel_coords(pos, res_m1)
+    base3 = tuple(base[d] for d in range(3))
+    frac3 = tuple(frac[d] for d in range(3))
+    if n_corners:
+        pltpu.prng_seed(seed_ref[0, 0], lvl * 65536 + tile)
+    corners, weights, factors, dfactors = _corner_set(frac3, n_corners)
+    rl_pairs = [_corner_index(base3, c, res1_i, dense, rows)
+                for c in corners]
+    s = pos.shape[1]
+    nc = len(corners)
+
+    # Gather per-corner packed values with the same S-loop as the forward.
+    def body(r, vals):
+        rowvals = jax.lax.broadcast_in_dim(
+            tab_ref[0, pl.ds(r, 1), :], (s, _LANES), (0, 1))
+        new = []
+        for ci, (row, lane) in enumerate(rl_pairs):
+            g = jnp.take_along_axis(rowvals, lane, axis=1)
+            hit = (row == r)
+            new.append(jnp.where(hit, g, vals[ci]))
+        return tuple(new)
+
+    vals = jax.lax.fori_loop(
+        0, rows, body,
+        tuple(jnp.zeros((s, _LANES), jnp.uint32) for _ in range(nc)))
+
+    g0 = g_ref[0, 0]
+    g1 = g_ref[0, 1]
+    d0 = jnp.zeros((s, _LANES), jnp.float32)
+    d1 = jnp.zeros((s, _LANES), jnp.float32)
+    d2 = jnp.zeros((s, _LANES), jnp.float32)
+    for ci in range(nc):
+        f0, f1 = _unpack(vals[ci])
+        gpair = g0 * f0 + g1 * f1
+        fa, fb, fc = factors[ci]
+        dfa, dfb, dfc = dfactors[ci]
+        d0 = d0 + gpair * dfa * (fb * fc) * res_m1
+        d1 = d1 + gpair * dfb * (fa * fc) * res_m1
+        d2 = d2 + gpair * dfc * (fa * fb) * res_m1
+    dpos_ref[0, 0] += d0
+    dpos_ref[0, 1] += d1
+    dpos_ref[0, 2] += d2
+
+
+def _bwd_pos_pallas(table, positions, g, config, seed, n_corners):
+    levels = table.shape[0]
+    res_arr, rows_arr, dense_arr, r_max = _scalar_args(config)
+    packed = _pack_table(table)
+    if packed.shape[1] < r_max:
+        packed = jnp.pad(packed,
+                         ((0, 0), (0, r_max - packed.shape[1]), (0, 0)))
+    tile_n = _tile_n(positions.shape[0])
+    pt, n, m = _prep_positions(positions, tile_n)
+    s_tiles = tile_n // _LANES
+    n_tiles = m // tile_n
+    gt = jnp.pad(g, ((0, m - n), (0, 0))).T.reshape(
+        levels, 2, m // _LANES, _LANES)
+    seed_arr = jnp.asarray([[0 if seed is None else seed]], jnp.int32) \
+        if not isinstance(seed, jnp.ndarray) else seed.reshape(1, 1)
+    kernel = functools.partial(_bwd_pos_kernel, n_corners=n_corners)
+    dpos = pl.pallas_call(
+        kernel,
+        grid=(levels, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, s_tiles, _LANES), lambda l, t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_max, _LANES), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, s_tiles, _LANES), lambda l, t: (l, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, s_tiles, _LANES),
+                               lambda l, t: (0, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 3, m // _LANES, _LANES),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(res_arr, rows_arr, dense_arr, seed_arr.astype(jnp.int32), pt,
+      packed, gt)
+    return dpos.reshape(3, m).T[:n]
+
+
+def _dpos_jnp(table, positions, g, config):
+    """Oracle/CPU position gradient of the exact encode via autodiff of a
+    differentiable-gather formulation."""
+    levels = table.shape[0]
+
+    def encode(p):
+        res_m1, rows, dense, _ = level_layout(config)
+        res = jnp.asarray(res_m1, jnp.float32)
+        scaled = p[None] * res[:, None, None]
+        floor = jax.lax.stop_gradient(jnp.floor(scaled))
+        frac = scaled - floor
+        base = floor.astype(jnp.int32)
+        corners = jnp.asarray(_CORNERS, jnp.int32)
+        cc = base[:, :, None, :] + corners[None, None]
+        cf = corners.astype(jnp.float32)
+        w = jnp.prod(jnp.where(cf[None, None] > 0, frac[:, :, None, :],
+                               1.0 - frac[:, :, None, :]), axis=-1)
+        res1 = (res + 2.0).astype(jnp.int32)[:, None, None]
+        lin = cc[..., 0] + cc[..., 1] * res1 + cc[..., 2] * res1 * res1
+        u = cc.astype(jnp.uint32)
+        h = (u[..., 0] ^ (u[..., 1] * _P1) ^
+             (u[..., 2] * _P2)).astype(jnp.int32)
+        rows_a = jnp.asarray(rows, jnp.int32)[:, None, None]
+        h = jnp.bitwise_and(h, rows_a * _LANES - 1)
+        dense_a = jnp.asarray(dense, jnp.int32)[:, None, None]
+        idx = jnp.where(dense_a != 0, lin, h)
+        flat = table.reshape(levels, 2, -1)
+        flat = flat.astype(jnp.bfloat16).astype(jnp.float32)
+        gathered = jax.vmap(lambda tab, ind: tab[:, ind.reshape(-1)])(
+            flat, idx)
+        g4 = gathered.reshape(levels, 2, p.shape[0], 8)
+        out = jnp.einsum('lfnc,lnc->nlf', g4, w)
+        return out.reshape(p.shape[0], levels * 2)
+
+    return jax.vjp(encode, positions)[1](g)[0]
+
+
+# ---------------------------------------------------------------------------
 # jnp reference / CPU fallback (identical semantics, exact mode)
 # ---------------------------------------------------------------------------
 
@@ -589,3 +796,69 @@ def _hxs_bwd(config, n_corners, res, g):
 
 
 hash_encode_xbar_stochastic.defvjp(_hxs_fwd, _hxs_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode_xbar_posgrad(table: jnp.ndarray, positions: jnp.ndarray,
+                             config: HashGridConfig) -> jnp.ndarray:
+    """Exact 8-corner encode WITH position gradients (for deformation
+    fields — methods/dnerf). Slower backward: the dpos kernel re-gathers
+    the corner values."""
+    if jax.default_backend() == 'tpu':
+        return _fwd_pallas(table, positions, config, None, 0)
+    return _fwd_jnp(table, positions, config)
+
+
+def _hxp_fwd(table, positions, config):
+    return hash_encode_xbar_posgrad(table, positions, config), \
+        (table, positions)
+
+
+def _hxp_bwd(config, res, g):
+    table, positions = res
+    if jax.default_backend() == 'tpu':
+        dtab = _bwd_pallas(table.shape, positions, g, config, None, 0)
+        dpos = _bwd_pos_pallas(table, positions, g, config, None, 0)
+    else:
+        dtab = _bwd_jnp(table.shape, positions, g, config)
+        dpos = _dpos_jnp(table, positions, g, config)
+    return dtab, dpos
+
+
+hash_encode_xbar_posgrad.defvjp(_hxp_fwd, _hxp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def hash_encode_xbar_stochastic_posgrad(
+        table: jnp.ndarray, positions: jnp.ndarray, seed: jnp.ndarray,
+        config: HashGridConfig, n_corners: int = 2) -> jnp.ndarray:
+    """Stochastic encode WITH (pathwise/straight-through) position
+    gradients: exact for the interpolated dims of each sampled corner,
+    zero for the Bernoulli-sampled dims (their probability-gradient term
+    is dropped). Good enough to train deformation fields; use
+    n_corners=0 via hash_encode_xbar_posgrad for exact gradients."""
+    if jax.default_backend() == 'tpu':
+        return _fwd_pallas(table, positions, config, seed, n_corners)
+    return _fwd_jnp(table, positions, config)
+
+
+def _hxsp_fwd(table, positions, seed, config, n_corners=2):
+    return hash_encode_xbar_stochastic_posgrad(
+        table, positions, seed, config, n_corners), \
+        (table, positions, seed)
+
+
+def _hxsp_bwd(config, n_corners, res, g):
+    table, positions, seed = res
+    if jax.default_backend() == 'tpu':
+        dtab = _bwd_pallas(table.shape, positions, g, config, seed,
+                           n_corners)
+        dpos = _bwd_pos_pallas(table, positions, g, config, seed, n_corners)
+    else:
+        dtab = _bwd_jnp(table.shape, positions, g, config)
+        dpos = _dpos_jnp(table, positions, g, config)
+    seed_ct = np.zeros(np.shape(seed), jax.dtypes.float0)
+    return dtab, dpos, seed_ct
+
+
+hash_encode_xbar_stochastic_posgrad.defvjp(_hxsp_fwd, _hxsp_bwd)

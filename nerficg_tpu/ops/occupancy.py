@@ -116,7 +116,10 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
                max_steps: int, sample_budget: int,
                rng: Optional[jax.Array] = None,
                min_near: float = 0.05,
-               block: int = 32) -> MarchResults:
+               block: int = 32,
+               exponential: bool = False,
+               probe_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]]
+               = None) -> MarchResults:
     """Fixed-step occupancy-skipping ray marcher (replaces CUDA N4).
 
     origins/directions: (R, 3); directions unit-norm.
@@ -130,6 +133,14 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     compaction (a 35ms jnp.nonzero over R*S elements on TPU) into a ~5ms
     nonzero over R*S/block block flags. Partially-filled boundary blocks
     carry per-sample validity masks.
+
+    ``exponential``: geometric step spacing t_i = t_near * r^i with
+    r = (t_far/t_near)^(1/S) — the static-shape equivalent of the
+    reference's distance-proportional steps for unbounded scenes
+    (InstantNGP/Renderer.py:141-152, EXPONENTIAL_STEPS).
+    ``probe_fn``: optional occupancy test positions_world -> bool, used
+    for multi-cascade grids (the default probes ``grid_binary`` over the
+    scene AABB).
     """
     num_rays = origins.shape[0]
     block = min(block, max_steps)
@@ -142,7 +153,11 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     nonzero_dir = jnp.sum(directions * directions, axis=-1) > 1e-12
     hit = (t_near < t_far) & nonzero_dir
     t_far = jnp.where(hit, t_far, t_near + 1.0)
-    dt = (t_far - t_near) / max_steps                          # (R,)
+    if exponential:
+        # Geometric spacing: rate channel carries log(r) per ray.
+        rate = jnp.log(jnp.maximum(t_far / t_near, 1.0 + 1e-6)) / max_steps
+    else:
+        rate = (t_far - t_near) / max_steps                    # dt (R,)
 
     step_idx = jnp.arange(max_steps, dtype=jnp.float32)        # (S,)
     # Counter-based hash jitter (recomputable at compacted samples without a
@@ -154,12 +169,18 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     flat_ids = jnp.arange(num_rays * max_steps,
                           dtype=jnp.uint32).reshape(num_rays, max_steps)
     jitter = _hash_jitter(flat_ids, seed)
-    ts = t_near[:, None] + (step_idx[None, :] + jitter) * dt[:, None]  # (R, S)
+    if exponential:
+        ts = t_near[:, None] * jnp.exp(
+            (step_idx[None, :] + jitter) * rate[:, None])      # (R, S)
+    else:
+        ts = t_near[:, None] + (step_idx[None, :] + jitter) * rate[:, None]
 
     positions = origins[:, None, :] + directions[:, None, :] * ts[..., None]
     unit = (positions - aabb_min) / (aabb_max - aabb_min)
     in_box = jnp.all((unit >= 0.0) & (unit < 1.0), axis=-1)
-    if grid_binary.ndim == 2:
+    if probe_fn is not None:
+        occupied = probe_fn(positions)
+    elif grid_binary.ndim == 2:
         from nerficg_tpu.ops.xbar_gather import occupancy_probe
         occupied = occupancy_probe(grid_binary, unit, grid_resolution)
     else:
@@ -183,7 +204,7 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     # is serial on TPU).
     from nerficg_tpu.ops.hash_mxu import mxu_gather
     ray_table = jnp.stack([
-        t_near, dt,
+        t_near, rate,
         origins[:, 0], origins[:, 1], origins[:, 2],
         directions[:, 0], directions[:, 1], directions[:, 2],
     ], axis=0)                                                 # (8, R)
@@ -191,7 +212,7 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     ray_table = jnp.pad(ray_table, ((0, 0), (0, rows * 128 - num_rays)))
     fetched = mxu_gather(ray_of_block[None], ray_table.reshape(
         1, 8, rows, 128), compute_dtype=jnp.float32)[0]        # (8, Bb)
-    b_tnear, b_dt = fetched[0], fetched[1]
+    b_tnear, b_rate = fetched[0], fetched[1]
     b_origins = fetched[2:5].T                                 # (Bb, 3)
     b_dirs = fetched[5:8].T
 
@@ -201,13 +222,21 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     sample_flat_id = (ray_of_block[:, None] * max_steps).astype(jnp.uint32) + \
         sample_step.astype(jnp.uint32)
     s_jitter = _hash_jitter(sample_flat_id, seed)
-    out_ts = (b_tnear[:, None] + (sample_step + s_jitter) * b_dt[:, None])
+    if exponential:
+        out_ts = b_tnear[:, None] * jnp.exp(
+            (sample_step + s_jitter) * b_rate[:, None])
+        out_dt = out_ts * (jnp.exp(b_rate[:, None]) - 1.0)
+    else:
+        out_ts = (b_tnear[:, None] +
+                  (sample_step + s_jitter) * b_rate[:, None])
     out_pos = b_origins[:, None, :] + b_dirs[:, None, :] * out_ts[..., None]
     # Per-sample validity: recheck occupancy at the expanded samples (cheap
     # second probe over the budget) so partially-filled blocks are masked.
     unit_s = (out_pos - aabb_min) / (aabb_max - aabb_min)
     in_box_s = jnp.all((unit_s >= 0.0) & (unit_s < 1.0), axis=-1)
-    if grid_binary.ndim == 2:
+    if probe_fn is not None:
+        occ_s = probe_fn(out_pos)
+    elif grid_binary.ndim == 2:
         from nerficg_tpu.ops.xbar_gather import occupancy_probe
         occ_s = occupancy_probe(grid_binary, unit_s, grid_resolution)
     else:
@@ -216,8 +245,10 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
 
     out_dirs = jnp.broadcast_to(b_dirs[:, None, :],
                                 out_pos.shape).reshape(-1, 3)
-    out_dt = jnp.broadcast_to(b_dt[:, None],
-                              out_ts.shape).reshape(-1)
+    if not exponential:
+        out_dt = jnp.broadcast_to(b_rate[:, None],
+                                  out_ts.shape)
+    out_dt = out_dt.reshape(-1)
     ray_ids = jnp.broadcast_to(ray_of_block[:, None],
                                valid.shape).reshape(-1)
     valid = valid.reshape(-1)
@@ -323,7 +354,10 @@ def update_density_grid(density_grid: jnp.ndarray,
                         aabb_min: jnp.ndarray, aabb_max: jnp.ndarray,
                         resolution: int, rng: jax.Array,
                         num_samples: int, decay: float = 0.95,
-                        warmup: bool = False) -> jnp.ndarray:
+                        warmup: bool = False,
+                        position_fn: Optional[Callable] = None,
+                        carve_mask: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
     """EMA-decay max-update of the density grid (replaces the morton-sampled
     CUDA update, reference: InstantNGP/Renderer.py:245-272).
 
@@ -331,7 +365,7 @@ def update_density_grid(density_grid: jnp.ndarray,
     During warmup all cells are refreshed; afterwards a random subset
     (uniform cells + currently-occupied-biased cells) is updated.
     """
-    total = resolution ** 3
+    total = density_grid.shape[0]      # res^3, or cascades * res^3
     k_cells, k_jitter = jax.random.split(rng)
     if warmup:
         num_samples = total
@@ -346,17 +380,110 @@ def update_density_grid(density_grid: jnp.ndarray,
     cells = (start + jnp.arange(num_samples, dtype=jnp.int32)) % total
 
     # Cell centers with intra-cell jitter.
-    z = cells % resolution
-    y = (cells // resolution) % resolution
-    x = cells // (resolution * resolution)
-    coords = jnp.stack([x, y, z], -1).astype(jnp.float32)
-    offsets = jax.random.uniform(k_jitter, coords.shape)
-    unit = (coords + offsets) / resolution
-    positions = aabb_min + unit * (aabb_max - aabb_min)
+    offsets = jax.random.uniform(k_jitter, (num_samples, 3))
+    if position_fn is not None:
+        # Multi-cascade grids: cell -> world position mapping supplied by
+        # the caller (ops.occupancy.cascade_cell_positions).
+        positions = position_fn(cells, offsets)
+    else:
+        z = cells % resolution
+        y = (cells // resolution) % resolution
+        x = cells // (resolution * resolution)
+        coords = jnp.stack([x, y, z], -1).astype(jnp.float32) + offsets
+        unit = coords / resolution
+        positions = aabb_min + unit * (aabb_max - aabb_min)
     new_density = query_fn(positions)
+    if carve_mask is not None:
+        # Frustum-carved cells stay permanently empty (reference:
+        # InstantNGP/Renderer.py:207-243 carve_occupancy_grid).
+        rolled_mask = jnp.roll(carve_mask.astype(new_density.dtype), -start)
+        new_density = new_density * rolled_mask[:num_samples]
 
     decayed = density_grid * decay
     rolled = jnp.roll(decayed, -start)
     rolled = jax.lax.dynamic_update_slice(
         rolled, jnp.maximum(rolled[:num_samples], new_density), (0,))
     return jnp.roll(rolled, start)
+
+
+# ---------------------------------------------------------------------------
+# Multi-cascade occupancy (unbounded scenes)
+# ---------------------------------------------------------------------------
+
+def num_cascades(scale: float) -> int:
+    """cascades = max(1 + ceil(log2(2*scale)), 1)
+    (reference: InstantNGP/Model.py:53)."""
+    import math
+    return max(1 + int(math.ceil(math.log2(max(2.0 * scale, 1e-6)))), 1)
+
+
+def downsample_occupancy_cascaded(density_grid: jnp.ndarray, resolution: int,
+                                  march_resolution: int, threshold: float,
+                                  cascades: int) -> jnp.ndarray:
+    """(C*res^3,) density -> (C, words, 128) bit-packed skip grids."""
+    from nerficg_tpu.ops.xbar_gather import pack_bits
+    factor = resolution // march_resolution
+    g = density_grid.reshape(cascades, march_resolution, factor,
+                             march_resolution, factor,
+                             march_resolution, factor)
+    coarse = g.max(axis=(2, 4, 6)) > threshold            # (C, m, m, m)
+    return jnp.stack([pack_bits(coarse[c].reshape(-1))
+                      for c in range(cascades)])
+
+
+def cascade_of_positions(positions: jnp.ndarray, center: jnp.ndarray,
+                         max_half: float, cascades: int) -> jnp.ndarray:
+    """Finest cascade containing each position (..., 3) -> (...,) int32.
+
+    Cascade c covers the box of half-extent max_half * 2^(c - (C-1));
+    cascade C-1 is the full scene box (reference: the NGP mip selection in
+    raymarching.cu, mip_from_pos)."""
+    rel = jnp.abs(positions - center)
+    m = jnp.max(rel, axis=-1)
+    base_half = max_half / (2 ** (cascades - 1))
+    c = jnp.ceil(jnp.log2(jnp.maximum(m / base_half, 1.0)))
+    return jnp.clip(c.astype(jnp.int32), 0, cascades - 1)
+
+
+def occupancy_probe_cascaded(packed: jnp.ndarray, positions: jnp.ndarray,
+                             center: jnp.ndarray, max_half: float,
+                             resolution: int) -> jnp.ndarray:
+    """Cascaded bit-packed occupancy test of world positions.
+
+    packed: (C, words, 128) int32 from downsample_occupancy_cascaded.
+    Each position is tested in its finest containing cascade."""
+    from nerficg_tpu.ops.xbar_gather import xbar_gather
+    cascades = packed.shape[0]
+    c = cascade_of_positions(positions, center, max_half, cascades)
+    base_half = max_half / (2 ** (cascades - 1))
+    half = base_half * jnp.exp2(c.astype(jnp.float32))
+    unit = (positions - center) / (2.0 * half[..., None]) + 0.5
+    coords = jnp.clip((unit * resolution).astype(jnp.int32),
+                      0, resolution - 1)
+    flat = (coords[..., 0] * resolution + coords[..., 1]) * resolution + \
+        coords[..., 2]
+    flat = flat + c * (resolution ** 3)
+    shape = flat.shape
+    flat = flat.reshape(-1)
+    words = xbar_gather(packed.reshape(-1, 128), jnp.right_shift(flat, 5))
+    bits = jnp.bitwise_and(
+        jnp.right_shift(words, jnp.bitwise_and(flat, 31)), 1)
+    return (bits == 1).reshape(shape)
+
+
+def cascade_cell_positions(cells: jnp.ndarray, offsets: jnp.ndarray,
+                           center: jnp.ndarray, max_half: float,
+                           resolution: int, cascades: int) -> jnp.ndarray:
+    """Flat cascade-grid cell ids (+ intra-cell jitter in [0,1)^3) ->
+    world positions; inverse of the cascaded probe indexing."""
+    res3 = resolution ** 3
+    c = cells // res3
+    local = cells % res3
+    z = local % resolution
+    y = (local // resolution) % resolution
+    x = local // (resolution * resolution)
+    coords = jnp.stack([x, y, z], -1).astype(jnp.float32) + offsets
+    unit = coords / resolution
+    base_half = max_half / (2 ** (cascades - 1))
+    half = base_half * jnp.exp2(c.astype(jnp.float32))
+    return center + (unit - 0.5) * 2.0 * half[..., None]

@@ -28,50 +28,82 @@ def masked_psnr(pred: jnp.ndarray, target: jnp.ndarray,
     return -10.0 * jnp.log10(jnp.maximum(mse / max_val ** 2, 1e-12))
 
 
-def _partial_window_mean(x: jnp.ndarray, mask: jnp.ndarray,
-                         size: int) -> jnp.ndarray:
-    """Windowed mean counting only unmasked pixels (partial convolution)."""
-    kernel = jnp.ones((1, 1, size, size), x.dtype)
-    c = x.shape[-1]
+def _conv_1d(img: jnp.ndarray, kernel_2d: jnp.ndarray) -> jnp.ndarray:
+    """VALID per-channel 2-D convolution of (H, W, C) with one small kernel."""
+    t = img.transpose(2, 0, 1)[None]                          # (1, C, H, W)
+    kh, kw = kernel_2d.shape
+    k = jnp.broadcast_to(kernel_2d[None, None],
+                         (t.shape[1], 1, kh, kw))
+    dn = jax.lax.conv_dimension_numbers(t.shape, k.shape,
+                                        ('NCHW', 'OIHW', 'NCHW'))
+    out = jax.lax.conv_general_dilated(
+        t, k, (1, 1), 'VALID', dimension_numbers=dn,
+        feature_group_count=t.shape[1],
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0].transpose(1, 2, 0)
 
-    def conv(img):
-        t = img.transpose(2, 0, 1)[None]                      # (1, C, H, W)
-        k = jnp.broadcast_to(kernel, (t.shape[1], 1, size, size))
-        dn = jax.lax.conv_dimension_numbers(t.shape, k.shape,
-                                            ('NCHW', 'OIHW', 'NCHW'))
-        out = jax.lax.conv_general_dilated(t, k, (1, 1), 'VALID',
-                                           dimension_numbers=dn,
-                                           feature_group_count=t.shape[1])
-        return out[0].transpose(1, 2, 0)
 
-    sums = conv(x * mask)
-    counts = conv(jnp.broadcast_to(mask, x.shape))
-    return sums / jnp.maximum(counts, 1e-8), counts
+def _partial_filter(x: jnp.ndarray, mask: jnp.ndarray, filt: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """dycheck-protocol separable partial-convolution Gaussian filter.
+
+    Each 1-D pass computes conv(x * m, gauss) renormalized by the VALID
+    pixel count under a ones kernel (scaled by the filter size), with the
+    mask rebinarized between passes — matching the reference's
+    MaskedMetrics.compute_ssim (itself dycheck's partial-conv SSIM,
+    Liu et al. ECCV 2018 formulation).
+    """
+    size = filt.shape[0]
+    ones = jnp.ones((size,), x.dtype)
+
+    def one_pass(z, m, horizontal):
+        f2 = filt[None, :] if horizontal else filt[:, None]
+        o2 = ones[None, :] if horizontal else ones[:, None]
+        z_ = _conv_1d(z * m, f2)
+        m_ = _conv_1d(m, o2)
+        z_out = jnp.where(m_ != 0, z_ * float(size) / jnp.maximum(m_, 1e-12),
+                          0.0)
+        return z_out, (m_ != 0).astype(x.dtype)
+
+    m3 = jnp.broadcast_to(mask, x.shape)
+    z, m = one_pass(x, m3, True)
+    z, _ = one_pass(z, m, False)
+    return z
 
 
 def masked_ssim(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray,
                 max_val: float = 1.0, window: int = 11,
+                filter_sigma: float = 1.5,
                 k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
-    """SSIM with partial-conv window statistics over the mask
-    (reference: MaskedMetrics.py:80-160)."""
+    """SSIM with Gaussian-window (sigma=1.5) partial-conv statistics,
+    matching the dycheck protocol used by the reference
+    (src/Optim/MaskedMetrics.py compute_ssim) so dynamic-scene mSSIM
+    numbers are comparable to published tables. Quirks preserved: masked
+    windows degenerate to zeros and contribute SSIM = 1, and the final
+    score is the mean over ALL windows."""
     mask = (mask > 0.5).astype(pred.dtype)
     if mask.ndim == 2:
         mask = mask[..., None]
-    mu_p, counts = _partial_window_mean(pred, mask, window)
-    mu_t, _ = _partial_window_mean(target, mask, window)
-    mu_pp, _ = _partial_window_mean(pred * pred, mask, window)
-    mu_tt, _ = _partial_window_mean(target * target, mask, window)
-    mu_pt, _ = _partial_window_mean(pred * target, mask, window)
-    var_p = mu_pp - mu_p * mu_p
-    var_t = mu_tt - mu_t * mu_t
-    cov = mu_pt - mu_p * mu_t
+    hw = window // 2
+    shift = (2 * hw - window + 1) / 2
+    f_i = ((jnp.arange(window) - hw + shift) / filter_sigma) ** 2
+    filt = jnp.exp(-0.5 * f_i)
+    filt = filt / jnp.sum(filt)
+
+    mu_p = _partial_filter(pred, mask, filt)
+    mu_t = _partial_filter(target, mask, filt)
+    s_pp = jnp.maximum(_partial_filter(pred * pred, mask, filt)
+                       - mu_p * mu_p, 0.0)
+    s_tt = jnp.maximum(_partial_filter(target * target, mask, filt)
+                       - mu_t * mu_t, 0.0)
+    s_pt = _partial_filter(pred * target, mask, filt) - mu_p * mu_t
+    s_pt = jnp.sign(s_pt) * jnp.minimum(jnp.sqrt(s_pp * s_tt),
+                                        jnp.abs(s_pt))
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
-    ssim_map = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / \
-               ((mu_p ** 2 + mu_t ** 2 + c1) * (var_p + var_t + c2))
-    # Count a window only if it contains any unmasked pixel.
-    valid = (counts > 0.5).astype(pred.dtype)
-    return jnp.sum(ssim_map * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    ssim_map = ((2 * mu_p * mu_t + c1) * (2 * s_pt + c2)) / \
+               ((mu_p ** 2 + mu_t ** 2 + c1) * (s_pp + s_tt + c2))
+    return jnp.mean(ssim_map)
 
 
 def compute_masked_metrics(pred: np.ndarray, target: np.ndarray,

@@ -240,6 +240,52 @@ class TestMaskedMetrics:
         p = float(ssim(jnp.asarray(a), jnp.asarray(b)))
         assert abs(m - p) < 0.05
 
+    def test_masked_ssim_matches_dycheck_formula(self, np_rng):
+        """Independent scipy implementation of the dycheck partial-conv
+        Gaussian-window SSIM (the reference protocol,
+        /root/reference/src/Optim/MaskedMetrics.py compute_ssim)."""
+        from scipy.signal import convolve2d
+
+        from nerficg_tpu.optim.masked_metrics import masked_ssim
+        a = np_rng.random((28, 28, 3)).astype(np.float64)
+        b = np.clip(a + np_rng.normal(size=a.shape) * 0.1, 0, 1)
+        mask = (np_rng.random((28, 28)) > 0.3).astype(np.float64)
+
+        size, sigma = 11, 1.5
+        hw = size // 2
+        shift = (2 * hw - size + 1) / 2
+        f = np.exp(-0.5 * (((np.arange(size) - hw + shift) / sigma) ** 2))
+        f /= f.sum()
+
+        def pconv(z, m, k2):
+            z_ = convolve2d(z * m, k2, mode='valid')
+            m_ = convolve2d(m, np.ones_like(k2), mode='valid')
+            out = np.where(m_ != 0, z_ * np.ones_like(k2).sum() / 
+                           np.where(m_ != 0, m_, 1.0), 0.0)
+            return out, (m_ != 0).astype(np.float64)
+
+        def filt(z, m):
+            outs = []
+            for c in range(3):
+                z1, m1 = pconv(z[..., c], m, f[None, :])
+                z2, _ = pconv(z1, m1, f[:, None])
+                outs.append(z2)
+            return np.stack(outs, -1)
+
+        mu0, mu1 = filt(a, mask), filt(b, mask)
+        s00 = np.maximum(filt(a * a, mask) - mu0 ** 2, 0)
+        s11 = np.maximum(filt(b * b, mask) - mu1 ** 2, 0)
+        s01 = filt(a * b, mask) - mu0 * mu1
+        s01 = np.sign(s01) * np.minimum(np.sqrt(s00 * s11), np.abs(s01))
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        expected = np.mean(((2 * mu0 * mu1 + c1) * (2 * s01 + c2)) /
+                           ((mu0 ** 2 + mu1 ** 2 + c1) * (s00 + s11 + c2)))
+
+        got = float(masked_ssim(jnp.asarray(a, jnp.float32),
+                                jnp.asarray(b, jnp.float32),
+                                jnp.asarray(mask, jnp.float32)))
+        assert abs(got - expected) < 2e-3, (got, expected)
+
 
 class TestGradientScaling:
     def test_backward_scaled(self):
