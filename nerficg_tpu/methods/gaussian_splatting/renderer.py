@@ -31,7 +31,7 @@ __all__ = ['GaussianSplattingRenderer']
 
 @Configurable.configure(
     MAX_PER_TILE=256,           # front-to-back budget per 16x16 tile
-    MAX_TILES_PER_GAUSSIAN=9,
+    MAX_TILES_PER_GAUSSIAN=6,   # linearized rect cover: any <=6-cell rect exact
     TILE_CHUNK=64,
     LOW_PASS_FILTER=0.3,
 )

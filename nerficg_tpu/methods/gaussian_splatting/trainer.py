@@ -179,7 +179,11 @@ class GaussianSplattingTrainer(BaseTrainer):
                 aux = {'l1': l1, 'dssim': ds, 'total': loss,
                        'psnr': mse_to_psnr(jnp.mean((out['rgb'] - target) ** 2)),
                        'radii': out['radii'],
-                       'visible': out['visible']}
+                       'visible': out['visible'],
+                       'overflow_gaussians': out.get(
+                           'overflow_gaussians', jnp.zeros((), jnp.int32)),
+                       'overflow_entries': out.get(
+                           'overflow_entries', jnp.zeros((), jnp.int32))}
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(
@@ -221,7 +225,18 @@ class GaussianSplattingTrainer(BaseTrainer):
         self.model.params, self.opt_state, aux = step(
             self.model.params, self.opt_state, w2c, cam_pos, bg, target,
             iteration)
-        self._last_logs = {k: aux[k] for k in ('l1', 'dssim', 'total', 'psnr')}
+        self._last_logs = {k: aux[k] for k in ('l1', 'dssim', 'total', 'psnr')
+                           if k in aux}
+        # Surface rasterizer coverage truncation (tile-rect / per-tile caps)
+        # instead of dropping it silently.
+        if 'overflow_gaussians' in aux and iteration % 500 == 0:
+            og = int(aux['overflow_gaussians'])
+            oe = int(aux['overflow_entries'])
+            if og or oe:
+                Logger.verbose(
+                    f'iter {iteration}: rasterizer truncation - {og} '
+                    f'gaussians exceed the tile rect, {oe} entries beyond '
+                    f'the per-tile budget')
         # Densification statistics (reference: Model.py:256-259).
         if int(self.DENSIFY_FROM) <= iteration <= int(self.DENSIFY_UNTIL):
             visible = np.asarray(aux['visible'])

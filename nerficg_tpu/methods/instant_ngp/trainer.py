@@ -45,6 +45,12 @@ __all__ = ['InstantNGPTrainer']
     OCCUPANCY_WARMUP_STEPS=256,
     RANDOM_BACKGROUND=True,
     BATCH_RESIZE_INTERVAL=16,
+    # Steps fused into one dispatch via lax.scan: host-loop + dispatch
+    # overhead through the tunnel is ~5-8 ms/step (PERF_NOTES.md), so
+    # batching K steps amortizes it K-fold. The occupancy grid is
+    # refreshed between dispatches (OCCUPANCY_UPDATE_INTERVAL should be a
+    # multiple of this).
+    SCAN_STEPS=1,
     LOG_INTERVAL=1000,
 )
 class InstantNGPTrainer(BaseTrainer):
@@ -148,8 +154,7 @@ class InstantNGPTrainer(BaseTrainer):
             max(int(self.TARGET_BATCH_SIZE) // num_rays, 4),
             int(renderer.MAX_SAMPLES))
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, grid_binary, pool, ids, rng, bg):
+        def one_step(params, opt_state, grid_binary, pool, ids, rng, bg):
             origins = pool['origins'][ids]
             directions = pool['directions'][ids]
             target = pool['rgb'][ids]
@@ -181,6 +186,32 @@ class InstantNGPTrainer(BaseTrainer):
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, logs
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, grid_binary, pool, ids, rng, bg):
+            # Single step (ids (n,)) or a scanned batch (ids (k, n) with
+            # per-step rngs (k, 2) and backgrounds (k, 3)).
+            if ids.ndim == 1:
+                return one_step(params, opt_state, grid_binary, pool, ids,
+                                rng, bg)
+
+            def body(carry, xs):
+                p, o = carry
+                step_ids, step_rng, step_bg = xs
+                p, o, logs = one_step(p, o, grid_binary, pool, step_ids,
+                                      step_rng, step_bg)
+                return (p, o), logs
+
+            (params, opt_state), logs = jax.lax.scan(
+                body, (params, opt_state), (ids, rng, bg))
+            last = jax.tree_util.tree_map(lambda x: x[-1], logs)
+            # Means over the scan window feed the batch resizer.
+            last['num_samples'] = jnp.mean(logs['num_samples'].astype(
+                jnp.float32))
+            last['num_blocks'] = jnp.mean(logs['num_blocks'].astype(
+                jnp.float32))
+            last['ray_mask_frac'] = jnp.mean(logs['ray_mask_frac'])
+            return params, opt_state, last
 
         self._train_steps[num_rays] = train_step
         return train_step
@@ -262,6 +293,33 @@ class InstantNGPTrainer(BaseTrainer):
 
     @training_callback(priority=100)
     def training_iteration(self, dataset, iteration: int) -> None:
+        # K = SCAN_STEPS iterations are fused into one scanned dispatch; the
+        # callback fires every iteration but only dispatches on window
+        # boundaries (the iteration counter still advances one by one so
+        # checkpoint/backup/occupancy schedules keep their semantics,
+        # quantized to the window).
+        k = max(int(self.SCAN_STEPS), 1)
+        if k > 1 and self._num_devices() == 1:
+            if iteration % k != 0:
+                return
+            n = self.rays_per_batch
+            ids = jnp.asarray(
+                self._np_rng.integers(0, self._pool_size, size=(k, n)),
+                jnp.int32)
+            if bool(self.RANDOM_BACKGROUND):
+                bg = jnp.asarray(self._np_rng.random((k, 3)), jnp.float32)
+            else:
+                bg = jnp.broadcast_to(self._bg_static, (k, 3))
+            rngs = jax.random.split(self.next_rng(), k)
+            step = self._get_train_step(n)
+            self.model.params, self.opt_state, logs = step(
+                self.model.params, self.opt_state,
+                self.renderer.grid_binary(), self._pool, ids, rngs, bg)
+            self._last_logs = logs
+            self._measured_samples.append(logs['num_samples'])
+            self._measured_mask_frac.append(logs['ray_mask_frac'])
+            self._measured_blocks.append(logs['num_blocks'])
+            return
         n = self.rays_per_batch
         ids = jnp.asarray(self._np_rng.integers(0, self._pool_size, size=n),
                           jnp.int32)

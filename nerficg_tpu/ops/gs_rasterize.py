@@ -57,7 +57,6 @@ def bin_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
     num_tiles = tiles_x * tiles_y
-    side = int(math.ceil(math.sqrt(max_tiles_per_gaussian)))
 
     means2d = jax.lax.stop_gradient(means2d)
     depths = jax.lax.stop_gradient(depths)
@@ -76,12 +75,10 @@ def bin_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
     # Rects larger than the grid are truncated (rare: densification keeps
     # Gaussians small; the reference handles huge splats exactly but they are
     # clipped by opacity pruning anyway).
-    offs = jnp.arange(side, dtype=jnp.int32)
-    ox, oy = jnp.meshgrid(offs, offs, indexing='xy')
-    ox = ox.reshape(-1)[:max_tiles_per_gaussian]               # (D,)
-    oy = oy.reshape(-1)[:max_tiles_per_gaussian]
-    tx = t_min_x[:, None] + ox[None, :]                        # (N, D)
-    ty = t_min_y[:, None] + oy[None, :]
+    rect_w = t_max_x - t_min_x + 1
+    j = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)
+    tx = t_min_x[:, None] + j[None, :] % rect_w[:, None]       # (N, D)
+    ty = t_min_y[:, None] + j[None, :] // rect_w[:, None]
     valid = (tx <= t_max_x[:, None]) & (ty <= t_max_y[:, None]) & \
         visible[:, None] & (radii[:, None] > 0)
     tile_of_entry = jnp.where(valid, ty * tiles_x + tx, num_tiles)
@@ -349,7 +346,6 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
     tiles_x = -(-width // TILE)
     tiles_y = -(-height // TILE)
     num_tiles = tiles_x * tiles_y
-    side = int(math.ceil(math.sqrt(max_tiles_per_gaussian)))
 
     m2d_i = jax.lax.stop_gradient(means2d)
     dep_i = jax.lax.stop_gradient(depths)
@@ -362,12 +358,15 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
                        0, tiles_y - 1)
     t_max_y = jnp.clip(((m2d_i[:, 1] + rad_i) // TILE).astype(jnp.int32),
                        0, tiles_y - 1)
-    offs = jnp.arange(side, dtype=jnp.int32)
-    ox, oy = jnp.meshgrid(offs, offs, indexing='xy')
-    ox = ox.reshape(-1)[:max_tiles_per_gaussian]
-    oy = oy.reshape(-1)[:max_tiles_per_gaussian]
-    tx = t_min_x[:, None] + ox[None, :]                         # (N, D)
-    ty = t_min_y[:, None] + oy[None, :]
+    # Per-gaussian linearized rect enumeration: entry j of a gaussian with
+    # rect (w, h) covers tile (min_x + j % w, min_y + j // w). Unlike a
+    # fixed side x side offset grid this covers ANY rect of <= D cells
+    # exactly (2x3 and 3x2 both fit in D=6), so the duplication factor can
+    # be smaller at equal coverage.
+    rect_w = t_max_x - t_min_x + 1                              # (N,)
+    j = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)     # (D,)
+    tx = t_min_x[:, None] + j[None, :] % rect_w[:, None]
+    ty = t_min_y[:, None] + j[None, :] // rect_w[:, None]
     dup_valid = (tx <= t_max_x[:, None]) & (ty <= t_max_y[:, None]) & \
         visible[:, None] & (rad_i[:, None] > 0)
     tile_of_entry = jnp.where(dup_valid, ty * tiles_x + tx, num_tiles)
@@ -400,22 +399,51 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                               jnp.cumsum(counts)[:-1]])
 
-    # Rank of each entry within its tile run (no gather: running segment
-    # start via cumulative max over run boundaries).
-    idx = jnp.arange(e, dtype=jnp.int32)
-    change = jnp.concatenate([jnp.ones(1, bool),
-                              sorted_tile[1:] != sorted_tile[:-1]])
-    run_start = jax.lax.cummax(jnp.where(change, idx, 0))
-    rank_valid = (idx - run_start) < k                          # (E,)
-
+    # Fused slice+composite straight from the sorted stream (the slot
+    # tensors never materialize; see ops/gs_tiles_kernel.composite_sorted).
+    from nerficg_tpu.ops.gs_tiles_kernel import composite_sorted
+    e_pad = (-(-(e + 3 * k) // k)) * k
     sorted_mat = jnp.concatenate(
-        [sorted_ch.T, jnp.zeros((k, 10), sorted_ch.dtype)], axis=0)
-    slots = _slice_tile_segments(sorted_mat, starts.astype(jnp.float32),
-                                 rank_valid.astype(jnp.float32), k)
-    tile_counts = jnp.minimum(counts, k)
+        [sorted_ch.T, jnp.zeros((e_pad - e, 10), sorted_ch.dtype)], axis=0)
+    sorted_mat = jnp.concatenate(
+        [sorted_mat, jnp.zeros((e_pad, 6), sorted_ch.dtype)], axis=1)
+    out = composite_sorted(sorted_mat, starts, counts, tiles_x, num_tiles, k)
+    result = _assemble_tiles(out, width, height, background)
+    # Coverage-loss diagnostics (the reference handles huge splats and deep
+    # tiles exactly; the static budgets here truncate - surface the loss
+    # instead of dropping it silently).
+    rect_h = t_max_y - t_min_y + 1
+    demanded = rect_w * rect_h
+    result['overflow_gaussians'] = jnp.sum(
+        ((demanded > max_tiles_per_gaussian) & visible &
+         (rad_i > 0)).astype(jnp.int32))
+    result['overflow_entries'] = jnp.sum(
+        jnp.maximum(counts - k, 0))
+    return result
 
-    return _composite_slots(slots, tile_counts, width, height, background,
-                            tile_chunk)
+
+
+
+def _assemble_tiles(out: jnp.ndarray, width: int, height: int,
+                    background: jnp.ndarray) -> dict:
+    """(T, 8, P) per-tile composites -> image dict."""
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    rgb = out[:, 0:3].transpose(0, 2, 1)
+    acc = out[:, 3]
+    dep = out[:, 4]
+
+    def to_image(tile_data, chs):
+        img = tile_data.reshape(tiles_y, tiles_x, TILE, TILE, chs)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(
+            tiles_y * TILE, tiles_x * TILE, chs)
+        return img[:height, :width]
+
+    image = to_image(rgb, 3)
+    alpha_img = to_image(acc[..., None], 1)
+    depth_img = to_image(dep[..., None], 1) / jnp.maximum(alpha_img, 1e-10)
+    image = image + (1.0 - alpha_img) * jnp.asarray(background, image.dtype)
+    return {'rgb': image, 'alpha': alpha_img, 'depth': depth_img}
 
 
 def _composite_slots(slots: jnp.ndarray, tile_counts: jnp.ndarray,

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['composite_tiles']
+__all__ = ['composite_tiles', 'composite_sorted']
 
 TILE = 16
 P = TILE * TILE           # pixels per tile
@@ -78,7 +78,7 @@ def _chunk_geometry(chunk_t, count, k_offset, px, py):
     ep = jnp.exp(power)
     a_raw = op * ep
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0) + k_offset
-    valid = (iota_k < count).astype(jnp.float32)
+    valid = ((iota_k >= 0) & (iota_k < count)).astype(jnp.float32)
     active = (a_raw > ALPHA_MIN) & (a_raw < ALPHA_MAX)
     alpha = jnp.where(a_raw > ALPHA_MIN,
                       jnp.minimum(a_raw, ALPHA_MAX), 0.0) * valid
@@ -337,3 +337,294 @@ def _ct_bwd(tiles_x, res, dout):
 
 
 composite_tiles.defvjp(_ct_fwd, _ct_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused variant: composite straight from the (tile, depth)-sorted
+# entry stream — no per-tile slot materialization.  Each grid step reads a
+# 3-block staggered window of the stream (VMEM block starts must be
+# K-aligned; the tile's own segment start is handled by an 8-aligned
+# sublane slice plus masking of the <=7 leading foreign entries).
+# ---------------------------------------------------------------------------
+
+def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
+                      tril_ref, out_ref, win_ref, *, k, tiles_x):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    ox, oy = _origin(t, tiles_x)
+    px, py = _pixel_grids(ox, oy)
+    tril = tril_ref[:]
+    local = start % k
+    aligned = (local // 8) * 8
+    skip = local - aligned
+    win_ref[pl.ds(0, k), :] = b0_ref[:]
+    win_ref[pl.ds(k, k), :] = b1_ref[:]
+    win_ref[pl.ds(2 * k, k), :] = b2_ref[:]
+    eff = jnp.minimum(count, k) + skip
+    n_chunks = (eff + CH - 1) // CH
+
+    def body(c, carry):
+        log_acc, rgb, acc, dep = carry
+        off = aligned + c * CH
+        chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]  # (CH, 16)
+        alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
+                                            c * CH - skip, px, py)
+        log_t = jnp.log1p(-alpha)
+        excl = log_acc + jax.lax.dot_general(
+            tril, log_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        w = jnp.exp(excl) * alpha
+        color_t = chunk_t[:, 6:9]                        # (CH, 3)
+        depth_c = chunk_t[:, 9:10]
+        rgb = rgb + jax.lax.dot_general(
+            color_t, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (3, P)
+        dep = dep + jax.lax.dot_general(
+            depth_c, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + jnp.sum(w, axis=0, keepdims=True)
+        log_acc = log_acc + jnp.sum(log_t, axis=0, keepdims=True)
+        return log_acc, rgb, acc, dep
+
+    zeros1 = jnp.zeros((1, P), jnp.float32)
+    _, rgb, acc, dep = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (zeros1, jnp.zeros((3, P), jnp.float32), zeros1, zeros1))
+    out_ref[0, 0:3] = rgb
+    out_ref[0, 3:4] = acc
+    out_ref[0, 4:5] = dep
+    out_ref[0, 5:8] = jnp.zeros((3, P), jnp.float32)
+
+
+KPAD = 8  # extra slot rows so the 8-aligned window covers a full segment
+
+
+def _fused_bwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
+                      tril_ref, dout_ref, dslots_ref, win_ref, dwin_ref,
+                      log_scratch, *, k, tiles_x):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    ox, oy = _origin(t, tiles_x)
+    px, py = _pixel_grids(ox, oy)
+    tril = tril_ref[:]
+    local = start % k
+    aligned = (local // 8) * 8
+    skip = local - aligned
+    win_ref[pl.ds(0, k), :] = b0_ref[:]
+    win_ref[pl.ds(k, k), :] = b1_ref[:]
+    win_ref[pl.ds(2 * k, k), :] = b2_ref[:]
+    dwin_ref[...] = jnp.zeros_like(dwin_ref)
+    eff = jnp.minimum(count, k) + skip
+    n_chunks = (eff + CH - 1) // CH
+
+    def fwd_body(c, log_acc):
+        off = aligned + c * CH
+        chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]
+        alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
+                                            c * CH - skip, px, py)
+        log_scratch[pl.ds(c, 1), :] = log_acc
+        return log_acc + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.zeros((1, P), jnp.float32))
+
+    dcol = dout_ref[0, 0:3]
+    dacc = dout_ref[0, 3:4]
+    ddep = dout_ref[0, 4:5]
+
+    def rev_body(i, s_after):
+        c = n_chunks - 1 - i
+        off = aligned + c * CH
+        chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]
+        alpha, ep, dx, dy, active = _chunk_geometry(chunk_t, count,
+                                                    c * CH - skip, px, py)
+        log_t = jnp.log1p(-alpha)
+        excl = log_scratch[pl.ds(c, 1), :] + jax.lax.dot_general(
+            tril, log_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        trans = jnp.exp(excl)
+        w = trans * alpha
+        color_t = chunk_t[:, 6:9]
+        depth_c = chunk_t[:, 9:10]
+        g = jax.lax.dot_general(color_t, dcol, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        g = g + dacc + depth_c * ddep
+        gw = g * w
+        s_within = jax.lax.dot_general(
+            tril, gw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_total = s_within + s_after
+        dalpha = jnp.where(active, g * trans - s_total / (1.0 - alpha), 0.0)
+        op = chunk_t[:, 5:6]
+        ca = chunk_t[:, 2:3]
+        cb = chunk_t[:, 3:4]
+        cc = chunk_t[:, 4:5]
+        dop = jnp.sum(dalpha * ep, axis=1, keepdims=True)
+        dpow = dalpha * op * ep
+        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
+        dcb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
+        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
+        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
+        dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=1, keepdims=True)
+        dcolor = jax.lax.dot_general(w, dcol, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        ddepth = jax.lax.dot_general(w, ddep, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        dchunk = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dop, dcolor, ddepth,
+             jnp.zeros((CH, 16 - 10), jnp.float32)], axis=1)   # (CH, 16)
+        dwin_ref[pl.ds(pl.multiple_of(c * CH, 8), CH), :] = dchunk
+        return s_after + jnp.sum(gw, axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, rev_body, jnp.zeros((1, P), jnp.float32))
+    # Slot rows j correspond to stream entries aligned_start + j.
+    dslots_ref[0] = dwin_ref[pl.ds(0, k + KPAD), :]
+
+
+def _stagger_specs(k):
+    return [
+        pl.BlockSpec((k, 16), lambda t, s, c: (s[t] // k + 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, 16), lambda t, s, c: (s[t] // k + 1, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, 16), lambda t, s, c: (s[t] // k + 2, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _run_fused_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
+    tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
+            ).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=_stagger_specs(k) + [
+            pl.BlockSpec((CH, CH), lambda t, s, c: (0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3 * k, 16), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, k=k, tiles_x=tiles_x),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(starts, counts, sorted_mat, sorted_mat, sorted_mat, tril)
+
+
+def _run_fused_bwd(sorted_mat, starts, counts, dout, tiles_x, num_tiles, k):
+    tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
+            ).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=_stagger_specs(k) + [
+            pl.BlockSpec((CH, CH), lambda t, s, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, k + KPAD, 16), lambda t, s, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3 * k, 16), jnp.float32),
+                        pltpu.VMEM((3 * k, 16), jnp.float32),
+                        pltpu.VMEM((k // CH + 2, P), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, k=k, tiles_x=tiles_x),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, k + KPAD, 16),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(starts, counts, sorted_mat, sorted_mat, sorted_mat, tril, dout)
+
+
+def _tile_origins(num_tiles, tiles_x):
+    idx = jnp.arange(num_tiles, dtype=jnp.float32)
+    return jnp.stack([(jnp.mod(idx, tiles_x)) * TILE,
+                      (idx // tiles_x) * TILE], -1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def composite_sorted(sorted_mat: jnp.ndarray, starts: jnp.ndarray,
+                     counts: jnp.ndarray, tiles_x: int, num_tiles: int,
+                     k: int) -> jnp.ndarray:
+    """Fused slice+composite over the (tile, depth)-sorted entry stream.
+
+    sorted_mat: (E_pad, 16) f32 — channels [mx,my,ca,cb,cc,op,r,g,b,d,0..]
+    per sorted entry, with >= 3k guard rows appended and E_pad a multiple
+    of k. starts/counts: (T,) int32 segment starts/lengths. Returns
+    (T, 8, P). Differentiable in sorted_mat (gradients routed back to
+    entries by one key sort — no scatter).
+    """
+    out, _ = _cs_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k)
+    return out
+
+
+def _cs_jnp(sorted_mat, starts, counts, tiles_x, num_tiles, k):
+    slots = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sorted_mat, (s, 0), (k, 16)))(starts)
+    return _composite_jnp(slots[..., :10], jnp.minimum(counts, k),
+                          _tile_origins(num_tiles, tiles_x))
+
+
+def _cs_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
+    starts = starts.astype(jnp.int32)
+    counts = counts.astype(jnp.int32)
+    if jax.default_backend() == 'tpu':
+        out = _run_fused_fwd(sorted_mat, starts, counts, tiles_x,
+                             num_tiles, k)
+    else:
+        out = _cs_jnp(sorted_mat, starts, counts, tiles_x, num_tiles, k)
+    return out, (sorted_mat, starts, counts)
+
+
+def _cs_bwd(tiles_x, num_tiles, k, res, dout):
+    sorted_mat, starts, counts = res
+    e_pad = sorted_mat.shape[0]
+    if jax.default_backend() != 'tpu':
+        d_sorted = jax.vjp(
+            lambda sm: _cs_jnp(sm, starts, counts, tiles_x, num_tiles, k),
+            sorted_mat)[1](dout)[0]
+        return d_sorted, None, None
+    d_slots = _run_fused_bwd(sorted_mat, starts, counts, dout, tiles_x,
+                             num_tiles, k)                 # (T, k+KPAD, 16)
+    # Route slot gradients to their entries with one key sort (no scatter:
+    # valid slots carry their entry index as key; every entry not covered
+    # by a valid slot gets a zero filler with its own index; the union is
+    # exactly {0..E_pad-1} once each).
+    window_start = (starts // 8) * 8
+    pos = jnp.arange(k + KPAD, dtype=jnp.int32)
+    entry_of_slot = window_start[:, None] + pos[None, :]   # (T, k+KPAD)
+    seg_end = starts + jnp.minimum(counts, k)
+    slot_valid = (entry_of_slot >= starts[:, None]) & \
+        (entry_of_slot < seg_end[:, None])
+    flat_valid = slot_valid.reshape(-1)
+    t_slots = num_tiles * (k + KPAD)
+    big = jnp.int32(2 ** 30)
+    slot_keys = jnp.where(flat_valid, entry_of_slot.reshape(-1),
+                          big + jnp.arange(t_slots, dtype=jnp.int32))
+    # Fillers: an entry covered by a valid slot must sort AFTER that slot;
+    # uncovered entries keep their own index so they receive zero gradient.
+    # Coverage = lies in some tile's [start, seg_end) — disjoint segments,
+    # marked via a difference array + cumsum.
+    marks = jnp.zeros((e_pad + 1,), jnp.int32)
+    marks = marks.at[starts].add(1).at[seg_end].add(-1)
+    covered = jnp.cumsum(marks[:-1]) > 0
+    filler_keys = jnp.where(
+        covered, big + big // 2 + jnp.arange(e_pad, dtype=jnp.int32),
+        jnp.arange(e_pad, dtype=jnp.int32))
+    keys = jnp.concatenate([slot_keys, filler_keys])
+    grads = jnp.concatenate([
+        d_slots.reshape(t_slots, 16) *
+        flat_valid[:, None].astype(d_slots.dtype),
+        jnp.zeros((e_pad, 16), d_slots.dtype)], axis=0)
+    ops = jax.lax.sort((keys,) + tuple(grads.T), num_keys=1)
+    d_sorted = jnp.stack(ops[1:]).T[:e_pad]
+    return d_sorted, None, None
+
+
+composite_sorted.defvjp(_cs_fwd, _cs_bwd)

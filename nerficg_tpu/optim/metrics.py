@@ -91,7 +91,15 @@ def lpips_available() -> bool:
 
 
 def lpips(pred: np.ndarray, target: np.ndarray) -> float:
-    """LPIPS-VGG on (H, W, 3) float [0,1] images; NaN if weights unavailable."""
+    """LPIPS-VGG on (H, W, 3) float [0,1] images; NaN if weights unavailable.
+
+    Prefers the on-device JAX implementation (optim/lpips_jax.py) when its
+    weight file is present; falls back to the optional torch `lpips`
+    package, else NaN."""
+    from nerficg_tpu.optim.lpips_jax import (lpips_jax,
+                                             lpips_weights_available)
+    if lpips_weights_available():
+        return lpips_jax(pred, target)
     if not lpips_available():
         return float('nan')
     import torch

@@ -80,3 +80,79 @@ def test_custom_vjp_cpu_fallback(tile_data):
     # padding gaussians past count must receive zero gradient
     assert float(jnp.abs(g[1]).sum()) == 0.0          # tile with count 0
     assert float(jnp.abs(g[2, 5:]).sum()) == 0.0      # beyond count 5
+
+
+class TestCompositeSorted:
+    """Fused slice+composite over the sorted stream (interpret mode)."""
+
+    def _stream(self, rng, num_tiles=5, k=128):
+        keys = jax.random.split(rng, 6)
+        counts = jnp.asarray([37, 0, k, 5, 60][:num_tiles], jnp.int32)
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(counts)[:-1]])
+        e = int(jnp.sum(counts))
+        e_pad = (-(-(e + 3 * k) // k)) * k
+        means = jax.random.uniform(keys[0], (e_pad, 2), minval=-4.0,
+                                   maxval=20.0)
+        conics = jnp.stack([
+            jax.random.uniform(keys[1], (e_pad,), minval=0.05, maxval=0.3),
+            jax.random.uniform(keys[2], (e_pad,), minval=-0.02, maxval=0.02),
+            jax.random.uniform(keys[1], (e_pad,), minval=0.05, maxval=0.3)],
+            -1)
+        opac = jax.random.uniform(keys[3], (e_pad, 1), minval=0.05,
+                                  maxval=0.9)
+        colors = jax.random.uniform(keys[4], (e_pad, 3))
+        depths = jax.random.uniform(keys[5], (e_pad, 1), minval=1.0,
+                                    maxval=5.0)
+        mat = jnp.concatenate([means, conics, opac, colors, depths,
+                               jnp.zeros((e_pad, 6))], axis=1)
+        return mat, starts, counts
+
+    def test_fused_fwd_matches_fallback(self, rng):
+        mat, starts, counts = self._stream(rng)
+        ref = gtk._cs_jnp(mat, starts, counts, 1000000, 5, 128)
+        with _interp():
+            out = gtk._run_fused_fwd(mat, starts, counts, 1000000, 5, 128)
+        np.testing.assert_allclose(np.asarray(out[:, :5]),
+                                   np.asarray(ref[:, :5]), atol=1e-5)
+
+    def test_fused_bwd_matches_fallback(self, rng):
+        mat, starts, counts = self._stream(rng)
+        dout = jax.random.normal(jax.random.PRNGKey(5), (5, 8, gtk.P))
+
+        def loss_ref(sm):
+            return jnp.sum(gtk._cs_jnp(sm, starts, counts, 1000000, 5, 128)
+                           * dout)
+
+        dref = jax.grad(loss_ref)(mat)
+        with _interp():
+            d_slots = gtk._run_fused_bwd(mat, starts, counts, dout,
+                                         1000000, 5, 128)
+        # route exactly as the custom_vjp does
+        with mock.patch.object(gtk.jax, 'default_backend',
+                               lambda: 'cpu'):
+            pass
+        window_start = (starts // 8) * 8
+        pos = jnp.arange(128 + gtk.KPAD, dtype=jnp.int32)
+        entry = window_start[:, None] + pos[None, :]
+        seg_end = starts + jnp.minimum(counts, 128)
+        valid = (entry >= starts[:, None]) & (entry < seg_end[:, None])
+        d_routed = np.zeros_like(np.asarray(mat))
+        ds = np.asarray(d_slots)
+        for t in range(5):
+            for j in range(128 + gtk.KPAD):
+                if bool(valid[t, j]):
+                    d_routed[int(entry[t, j])] = ds[t, j]
+        np.testing.assert_allclose(d_routed, np.asarray(dref), atol=2e-3,
+                                   rtol=1e-3)
+
+    def test_custom_vjp_roundtrip_cpu(self, rng):
+        mat, starts, counts = self._stream(rng)
+
+        def loss(sm):
+            return jnp.sum(gtk.composite_sorted(sm, starts, counts,
+                                                1000000, 5, 128) ** 2)
+
+        g = jax.grad(loss)(mat)
+        assert g.shape == mat.shape
+        assert bool(jnp.all(jnp.isfinite(g)))

@@ -298,3 +298,19 @@ class TestGradientScaling:
 
         g = np.asarray(jax.grad(f)(values))
         np.testing.assert_allclose(g[:, 0], [0.01, 0.25, 1.0, 1.0], atol=1e-6)
+
+
+class TestLPIPSJax:
+    def test_identity_is_zero_and_orders_similarity(self, rng, np_rng):
+        from nerficg_tpu.optim.lpips_jax import (_lpips_impl,
+                                                 init_random_weights)
+        params = init_random_weights(rng)
+        a = jnp.asarray(np_rng.random((32, 32, 3)), jnp.float32)
+        noise = jnp.asarray(np_rng.normal(size=(32, 32, 3)), jnp.float32)
+        d0 = float(_lpips_impl(params, a, a))
+        d_small = float(_lpips_impl(params, a,
+                                    jnp.clip(a + 0.02 * noise, 0, 1)))
+        d_large = float(_lpips_impl(params, a,
+                                    jnp.clip(a + 0.3 * noise, 0, 1)))
+        assert d0 < 1e-6
+        assert d0 < d_small < d_large
