@@ -68,6 +68,16 @@ def setup(config_path: str | None = None, overrides=(), *,
         warnings.filterwarnings('ignore', category=UserWarning)
     if g.get('ANOMALY_DETECTION', False):
         jax.config.update('jax_debug_nans', True)
+    if g.get('DISTRIBUTED', False):
+        # Multi-host: join the cluster before any device query (SURVEY §5.8;
+        # the reference has no multi-host story — torch DataParallel only).
+        from nerficg_tpu.parallel.mesh import initialize_distributed
+        n_proc = initialize_distributed(
+            coordinator_address=g.get('COORDINATOR_ADDRESS'),
+            num_processes=g.get('NUM_PROCESSES'),
+            process_id=g.get('PROCESS_ID'))
+        Logger.info(f'distributed: process {jax.process_index()} '
+                    f'of {n_proc}')
 
     seed = int(g.get('RANDOM_SEED', 42))
     random.seed(seed)

@@ -32,7 +32,19 @@ def load_image(path: str | Path, scale_factor: float | None = None) -> np.ndarra
 
     Preserves an alpha channel if present (reference: Datasets/utils.py:134-160).
     16-bit PNGs are scaled by 65535, 8-bit by 255.
+
+    png/jpeg decode goes through the native C++ library when available
+    (nerficg_tpu/native, libpng/libjpeg outside the GIL); anything else —
+    or a failed native decode — falls back to PIL.
     """
+    suffix = str(path).lower().rsplit('.', 1)[-1]
+    if suffix in ('png', 'jpg', 'jpeg'):
+        from nerficg_tpu.native import decode_image as _native_decode
+        arr = _native_decode(path)
+        if arr is not None:
+            if scale_factor is not None and scale_factor != 1.0:
+                arr = resize_image(arr, scale_factor)
+            return arr
     with Image.open(path) as img:
         if scale_factor is not None and scale_factor != 1.0:
             new_size = (max(int(round(img.width * scale_factor)), 1),
@@ -93,6 +105,14 @@ def load_images_parallel(paths: Sequence[str | Path],
                          max_workers: int = 8) -> list[np.ndarray]:
     """Threaded parallel decode (reference: load_images, Datasets/utils.py:134-149)."""
     fn = load_fn if load_fn is not None else load_image
+    if load_fn is None and (scale_factor is None or scale_factor == 1.0):
+        # Fast path: the native C++ thread-pool batch decoder.
+        suffixes = {str(p).lower().rsplit('.', 1)[-1] for p in paths}
+        if suffixes <= {'png', 'jpg', 'jpeg'}:
+            from nerficg_tpu.native import decode_batch
+            out = decode_batch(list(paths), n_threads=max_workers)
+            if out is not None:
+                return out
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         return list(pool.map(lambda p: fn(p, scale_factor), paths))
 

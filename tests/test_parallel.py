@@ -165,3 +165,28 @@ class TestInstantNGPTrainerDP:
             trainer.training_iteration(dataset, it)
         assert np.isfinite(float(trainer._last_logs['total']))
         assert trainer.model.params['hash_table'].sharding.is_fully_replicated
+
+
+class TestMultiHostMesh:
+    def test_multihost_mesh_shape_single_process(self):
+        from nerficg_tpu.parallel.mesh import (DCN_AXIS, ICI_AXIS,
+                                               make_multihost_mesh)
+        mesh = make_multihost_mesh()
+        assert mesh.axis_names == (DCN_AXIS, ICI_AXIS)
+        assert mesh.size == len(jax.devices())
+
+    def test_2d_data_spec_shards_batch(self):
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+        from nerficg_tpu.parallel.mesh import (make_multihost_mesh,
+                                               shard_rays_spec_2d)
+        mesh = make_multihost_mesh()
+        x = jnp.arange(mesh.size * 4.0).reshape(mesh.size * 2, 2)
+        sharded = jax.device_put(x, NamedSharding(mesh, shard_rays_spec_2d()))
+        assert len(sharded.addressable_shards) == mesh.size
+        # a jitted reduction over the sharded array works (collective path)
+        assert float(jnp.sum(sharded)) == float(jnp.sum(x))
+
+    def test_initialize_distributed_single_host_noop(self):
+        from nerficg_tpu.parallel.mesh import initialize_distributed
+        assert initialize_distributed() == jax.process_count()
