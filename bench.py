@@ -9,6 +9,7 @@ Adam) at the reference's 262144-samples/step operating point, on a synthetic
 half-occupied scene.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -113,5 +114,69 @@ def main() -> None:
     }))
 
 
+def main_quality() -> None:
+    """--quality: end-to-end PSNR probe — procedural Blender-format scene
+    (64x64, 10 views), 1500 Instant-NGP iterations through the real
+    loader/trainer path, test-split PSNR as the metric. Anchors the
+    throughput numbers with a trainable-quality check (no real scene data
+    ships in this environment; see VERDICT #5 / README)."""
+    import tempfile
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / 'tests'))
+    from conftest import _make_synthetic_scene
+
+    from nerficg_tpu.core.registry import Datasets, Methods
+    from nerficg_tpu.core.setup import setup
+
+    from nerficg_tpu.core.config import ConfigNode
+
+    root = Path(tempfile.mkdtemp()) / 'scene'
+    root.mkdir()
+    _make_synthetic_scene(root, image_size=64)
+    cfg = ConfigNode({
+        'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'DATASET_TYPE': 'NeRF',
+                   'RANDOM_SEED': 0},
+        'DATASET': {'PATH': str(root)},
+        'MODEL': {'SCALE': 1.0},
+        'RENDERER': {'MAX_SAMPLES': 256},
+        'TRAINING': {'NUM_ITERATIONS': 1500,
+                     'INITIAL_RAYS_PER_BATCH': 2048,
+                     'TARGET_BATCH_SIZE': 65536, 'RENDER_TESTSET': False,
+                     'MODEL_NAME': 'bench_quality'},
+    })
+    ctx = setup(config=cfg)
+    trainer = Methods.get_training_instance(cfg)
+    dataset = Datasets.get_dataset(cfg)
+    start = time.perf_counter()
+    trainer.run(dataset)
+    train_s = time.perf_counter() - start
+    # test-split PSNR
+    import numpy as np
+
+    from nerficg_tpu.optim.metrics import psnr
+    dataset.test()
+    vals = []
+    for view in dataset.views:
+        out = trainer.renderer.render_image(view)
+        gt = np.asarray(view.rgb)
+        alpha = np.asarray(view.alpha)
+        bg = np.asarray(view.camera.background_color)
+        gt = gt * alpha + bg * (1 - alpha)
+        vals.append(float(psnr(np.clip(np.asarray(out['rgb']), 0, 1), gt)))
+    print(json.dumps({
+        'metric': 'instant_ngp_quality_probe_psnr',
+        'value': round(sum(vals) / len(vals), 2),
+        'unit': 'dB',
+        'train_seconds': round(train_s, 1),
+        'vs_baseline': 0.0,
+    }))
+
+
 if __name__ == '__main__':
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--quality', action='store_true')
+    args = parser.parse_args()
+    if args.quality:
+        main_quality()
+    else:
+        main()

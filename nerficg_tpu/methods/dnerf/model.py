@@ -37,6 +37,11 @@ __all__ = ['DNeRFModel']
     DEFORM_LAYERS=3,               # hidden layers of the deformation MLP
     DEFORM_POS_FREQUENCIES=6,
     DEFORM_TIME_FREQUENCIES=4,
+    # Exact 8-corner encode by default: the deformation field trains
+    # through d(encode)/d(position), and the stochastic estimators'
+    # straight-through position gradients measurably hurt it
+    # (A/B on the procedural dynamic scene: 17.9 vs 12.1 dB at 800 iters).
+    STOCHASTIC_CORNERS=0,
 )
 class DNeRFModel(InstantNGPModel):
 

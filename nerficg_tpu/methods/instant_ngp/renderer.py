@@ -50,6 +50,13 @@ __all__ = ['InstantNGPRenderer']
     EXPONENTIAL_STEPS=None,     # None = auto (on for multi-cascade scenes);
                                 # reference: Renderer.py:141-152
     CARVE_OCCUPANCY=True,       # frustum-carve the grid from training views
+    # Progressive inference (the static-shape answer to the reference's
+    # alive-ray loop, Renderer.py:85-138): render every ray at the base
+    # budget, then re-march only the rays whose samples were truncated
+    # while still transmissive, at REFINE_FACTOR x the budget.
+    INFERENCE_REFINE=True,
+    INFERENCE_REFINE_FRACTION=0.25,   # max refined rays per chunk
+    INFERENCE_REFINE_FACTOR=4,
 )
 class InstantNGPRenderer(BaseRenderer):
 
@@ -234,6 +241,32 @@ class InstantNGPRenderer(BaseRenderer):
         from nerficg_tpu.core.logging import Logger
         Logger.verbose(f'occupancy carve: {frac * 100:.1f}% of cells visible')
 
+
+    def _refine_impl(self, params, grid_binary, origins, directions, rng,
+                     background, out, timestamps=None):
+        """Second marching pass for truncated-but-transmissive rays
+        (static-shape alive-ray equivalent, reference Renderer.py:85-138).
+        Selects up to a fixed fraction of the chunk and re-renders them at
+        a larger per-ray budget, merging results back."""
+        chunk = origins.shape[0]
+        r2 = max(int(chunk * float(self.INFERENCE_REFINE_FRACTION)), 128)
+        unfinished = (out['ray_mask'][:, 0] < 0.5) & \
+            (out['alpha'][:, 0] < 0.995)
+        (ids,) = jnp.nonzero(unfinished, size=r2, fill_value=chunk)
+        valid = (ids < chunk)[:, None]
+        safe = jnp.minimum(ids, chunk - 1)
+        ts2 = timestamps[safe] if timestamps is not None else None
+        out2 = self._render_rays_impl(
+            params, grid_binary, origins[safe], directions[safe], rng,
+            background, randomized=False, num_rays=r2,
+            samples_per_ray=int(self.INFERENCE_SAMPLES_PER_RAY) *
+            int(self.INFERENCE_REFINE_FACTOR), timestamps=ts2)
+        merged = dict(out)
+        for key in ('rgb', 'depth', 'alpha'):
+            repl = jnp.where(valid, out2[key], out[key][safe])
+            merged[key] = out[key].at[safe].set(repl)
+        return merged
+
     def render_rays(self, rays: RayBatch, rng: Optional[jax.Array] = None,
                     randomized: bool = False,
                     background: Optional[jnp.ndarray] = None) -> dict:
@@ -260,6 +293,14 @@ class InstantNGPRenderer(BaseRenderer):
                                          jax.random.fold_in(rng, i), bg,
                                          randomized=randomized,
                                          timestamps=ts_chunk)
+            if bool(self.INFERENCE_REFINE):
+                if not hasattr(self, '_refine_jit'):
+                    self._refine_jit = jax.jit(self._refine_impl)
+                out = self._refine_jit(self.model.params, grid,
+                                       rays_p.origins[i:i + chunk],
+                                       rays_p.directions[i:i + chunk],
+                                       jax.random.fold_in(rng, i + 1), bg,
+                                       out, timestamps=ts_chunk)
             outputs.append({k: v for k, v in out.items()
                             if k in ('rgb', 'depth', 'alpha')})
         return {k: jnp.concatenate([o[k] for o in outputs], axis=0)[:n]

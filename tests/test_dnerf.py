@@ -101,3 +101,16 @@ def test_trains_on_dynamic_synthetic_scene(rng):
     # the deformation field received gradient signal
     g = trainer.model.params['deform_mlp'][-1]
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_dnerf_loader_and_cli_contract(dynamic_dataset):
+    """Loader parses the D-NeRF format; views carry normalized timestamps."""
+    from nerficg_tpu.core.config import ConfigNode
+    from nerficg_tpu.core.registry import Datasets
+    config = ConfigNode({'GLOBAL': {'DATASET_TYPE': 'DNeRF'},
+                         'DATASET': {'PATH': str(dynamic_dataset)}})
+    ds = Datasets.get_dataset(config)
+    times = [v.timestamp for v in ds.train().views]
+    assert min(times) == 0.0 and max(times) == 1.0
+    rays = ds.precompute_rays('train').rays
+    assert rays.timestamps is not None

@@ -414,3 +414,47 @@ class TestFusedHashEncode:
         part = hash_encode_fused(table_mxu, pos[:97], cfg)
         np.testing.assert_allclose(np.asarray(full[:97]), np.asarray(part),
                                    atol=1e-6)
+
+
+class TestProgressiveInference:
+    def test_refine_improves_truncated_rays(self, rng):
+        """Dense scene + tiny base budget: the refine pass must recover
+        rays the base pass truncated (static-shape alive-ray equivalent,
+        reference Renderer.py:85-138)."""
+        from nerficg_tpu.core.config import ConfigNode
+        from nerficg_tpu.core.registry import Methods
+        from nerficg_tpu.data.types import RayBatch
+
+        def build(refine):
+            cfg = ConfigNode({
+                'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'RANDOM_SEED': 0},
+                'MODEL': {'GRID_RESOLUTION': 16, 'LOG2_HASHMAP_SIZE': 10,
+                          'NUM_LEVELS': 4},
+                'RENDERER': {'MAX_SAMPLES': 64, 'MARCH_RESOLUTION': 16,
+                             'INFERENCE_SAMPLES_PER_RAY': 8,
+                             'INFERENCE_REFINE': refine,
+                             'INFERENCE_REFINE_FRACTION': 1.0,
+                             'INFERENCE_REFINE_FACTOR': 8,
+                             'RAY_BATCH_SIZE': 256},
+                'TRAINING': {},
+            })
+            return Methods.get_training_instance(cfg)
+
+        t0 = build(False)
+        t1 = build(True)
+        for t in (t0, t1):
+            t.model.buffers['density_grid'] = jnp.ones_like(
+                t.model.buffers['density_grid']) * 50.0
+            t.model.params = t0.model.params
+        # fill the whole chunk so padding slack cannot absorb the budget
+        n = (256 * 32) // 8
+        origins = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -2.0]), (n, 3))
+        d = jax.random.normal(rng, (n, 3)) * 0.1 + jnp.asarray([0, 0, 1.0])
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        rays = RayBatch(origins=np.asarray(origins), directions=np.asarray(d))
+        base = t0.renderer.render_rays(rays)
+        refined = t1.renderer.render_rays(rays)
+        # dense occupancy at 8 samples/ray truncates: alpha far from opaque
+        assert float(jnp.mean(base['alpha'])) < 0.9
+        assert float(jnp.mean(refined['alpha'])) > \
+            float(jnp.mean(base['alpha'])) + 0.05
