@@ -114,13 +114,20 @@ def resolve_callback_config(trainer, key: str, default=None):
 
 class CallbackTimer:
     """Accumulating wall-time timer with device sync
-    (reference: Methods/Base/utils.py:12-33)."""
+    (reference: Methods/Base/utils.py:12-33).
 
-    def __init__(self, name: str = ''):
+    ``sample_every``: sync the device only on every Nth exit — a sync
+    round trip through remote transports costs tens of ms (PERF_NOTES.md),
+    which at per-iteration granularity would dominate training. Sampled
+    syncing keeps the totals statistically correct (async dispatch time
+    folds into the sampled calls) at 1/N of the cost."""
+
+    def __init__(self, name: str = '', sample_every: int = 1):
         self.name = name
         self.total = 0.0
         self.count = 0
         self._start = 0.0
+        self._sample_every = max(int(sample_every), 1)
 
     def __enter__(self):
         self._start = time.perf_counter()
@@ -129,7 +136,8 @@ class CallbackTimer:
     def __exit__(self, *exc):
         # Device sync so accumulated time includes dispatched work
         # (TPU analog of torch.cuda.synchronize).
-        jax.effects_barrier()
+        if self.count % self._sample_every == 0:
+            jax.effects_barrier()
         self.total += time.perf_counter() - self._start
         self.count += 1
         return False

@@ -42,7 +42,8 @@ __all__ = ['BaseTrainer']
     LOAD_CHECKPOINT=None,
     CHECKPOINT={'INTERVAL': None, 'FINAL': True},
     BACKUP={'INTERVAL': None},
-    TIMING={'ACTIVATE': True},
+    TIMING={'ACTIVATE': True, 'SAMPLE_EVERY': 16,
+            'PROFILE': None, 'PROFILE_STEPS': 5},
     WANDB={'ACTIVATE': False, 'INTERVAL': 100, 'PROJECT': 'nerficg_tpu',
            'LOG_IMAGES': False, 'IMAGE_INTERVAL': 1000,
            'INDEX_TRAINING': 0, 'INDEX_VALIDATION': 0,
@@ -154,7 +155,8 @@ class BaseTrainer(Configurable):
                     return False
             return _Null()
         if name not in self.timers:
-            self.timers[name] = CallbackTimer(name)
+            self.timers[name] = CallbackTimer(
+                name, sample_every=int(self.TIMING.get('SAMPLE_EVERY', 16)))
         return self.timers[name]
 
     def _write_timings(self) -> None:

@@ -47,7 +47,7 @@ class GaussianSplattingRenderer(BaseRenderer):
     def render_impl(self, params: dict, means2d_offset: jnp.ndarray,
                     w2c: jnp.ndarray, cam_pos: jnp.ndarray,
                     intrinsics: tuple, background: jnp.ndarray,
-                    sh_degree: int) -> dict:
+                    sh_degree: int, packed_inference: bool = False) -> dict:
         """One full differentiable render.
 
         means2d_offset: zeros (N, 2); its gradient is the viewspace
@@ -79,7 +79,8 @@ class GaussianSplattingRenderer(BaseRenderer):
             background=background,
             max_tiles_per_gaussian=int(self.MAX_TILES_PER_GAUSSIAN),
             max_per_tile=int(self.MAX_PER_TILE),
-            tile_chunk=int(self.TILE_CHUNK))
+            tile_chunk=int(self.TILE_CHUNK),
+            packed_inference=packed_inference)
         out['radii'] = proj['radii']
         out['visible'] = proj['in_frustum']
         return out
@@ -87,9 +88,11 @@ class GaussianSplattingRenderer(BaseRenderer):
     def _get_render_fn(self, intrinsics: tuple, sh_degree: int):
         key = (intrinsics, sh_degree, self.model.params['positions'].shape[0])
         if key not in self._render_cache:
+            # Inference renders take the gradient-free packed-payload fast
+            # path (ops/gs_tiles_kernel.pack_attr_channels).
             self._render_cache[key] = jax.jit(partial(
                 self.render_impl, intrinsics=intrinsics,
-                sh_degree=sh_degree))
+                sh_degree=sh_degree, packed_inference=True))
         return self._render_cache[key]
 
     @staticmethod

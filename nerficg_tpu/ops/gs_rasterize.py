@@ -332,7 +332,8 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
                         background: jnp.ndarray,
                         max_tiles_per_gaussian: int = 9,
                         max_per_tile: int = 256,
-                        tile_chunk: int = 64) -> dict:
+                        tile_chunk: int = 64,
+                        packed_inference: bool = False) -> dict:
     """Full differentiable rasterization from projected Gaussians.
 
     means2d (N,2), depths (N,), conics (N,3), radii (N,), colors (N,3),
@@ -377,9 +378,16 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
         conics[:, 0], conics[:, 1], conics[:, 2],
         opacities, colors[:, 0], colors[:, 1], colors[:, 2], depths,
     ], axis=0)                                                  # (C=10, N)
+    if packed_inference:
+        # Gradient-free fast path: bf16-pair the non-mean channels so the
+        # payload sort carries 6 operands instead of 10 (the sort is the
+        # dominant inference cost; see PERF_NOTES.md).
+        from nerficg_tpu.ops.gs_tiles_kernel import pack_attr_channels
+        attrs = pack_attr_channels(attrs)
+    n_ch = attrs.shape[0]
     dup = tile_of_entry.shape[1]
     channels = jnp.broadcast_to(attrs[:, :, None],
-                                attrs.shape + (dup,)).reshape(10, -1)
+                                attrs.shape + (dup,)).reshape(n_ch, -1)
     entry_tile = tile_of_entry.reshape(-1)
     entry_depth = jnp.broadcast_to(dep_i[:, None],
                                    tile_of_entry.shape).reshape(-1)
@@ -404,9 +412,10 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
     from nerficg_tpu.ops.gs_tiles_kernel import composite_sorted
     e_pad = (-(-(e + 3 * k) // k)) * k
     sorted_mat = jnp.concatenate(
-        [sorted_ch.T, jnp.zeros((e_pad - e, 10), sorted_ch.dtype)], axis=0)
+        [sorted_ch.T, jnp.zeros((e_pad - e, n_ch), sorted_ch.dtype)], axis=0)
+    pad_ch = (8 if packed_inference else 16) - n_ch
     sorted_mat = jnp.concatenate(
-        [sorted_mat, jnp.zeros((e_pad, 6), sorted_ch.dtype)], axis=1)
+        [sorted_mat, jnp.zeros((e_pad, pad_ch), sorted_ch.dtype)], axis=1)
     out = composite_sorted(sorted_mat, starts, counts, tiles_x, num_tiles, k)
     result = _assemble_tiles(out, width, height, background)
     # Coverage-loss diagnostics (the reference handles huge splats and deep

@@ -49,6 +49,56 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
 
+
+def _read_attrs(chunk_t, packed: bool):
+    """Attr columns from a stream chunk.
+
+    packed=False: (CH, >=10) f32 rows [mx,my,ca,cb,cc,op,r,g,b,d,...].
+    packed=True:  (CH, 8) f32 rows [mx, my, ca|cb, cc|op, r|g, b|d, 0, 0]
+    with the pair channels holding two bf16 values per f32 lane (bf16 is
+    the top half of f32, so unpacking is bit masking) — the inference-only
+    layout that keeps the (tile, depth) payload sort 6 channels wide.
+    Returns (mx, my, ca, cb, cc, op, color_t (CH,3), depth (CH,1)).
+    """
+    mx = chunk_t[:, 0:1]
+    my = chunk_t[:, 1:2]
+    if not packed:
+        return (mx, my, chunk_t[:, 2:3], chunk_t[:, 3:4], chunk_t[:, 4:5],
+                chunk_t[:, 5:6], chunk_t[:, 6:9], chunk_t[:, 9:10])
+
+    def unpack(col):
+        v = pltpu.bitcast(col, jnp.uint32)
+        hi = pltpu.bitcast(jnp.bitwise_and(v, jnp.uint32(0xFFFF0000)),
+                           jnp.float32)
+        lo = pltpu.bitcast(jnp.left_shift(v, 16), jnp.float32)
+        return hi, lo
+
+    ca, cb = unpack(chunk_t[:, 2:3])
+    cc, op = unpack(chunk_t[:, 3:4])
+    r, g = unpack(chunk_t[:, 4:5])
+    b, d = unpack(chunk_t[:, 5:6])
+    return mx, my, ca, cb, cc, op, jnp.concatenate([r, g, b], axis=1), d
+
+
+def pack_attr_channels(channels: jnp.ndarray) -> jnp.ndarray:
+    """(10, E) f32 attr channels -> (6, E) f32 with bf16-paired lanes
+    (inference transport; see _read_attrs). Means stay f32 — bf16 pixel
+    coordinates would quantize to ~8 px at 1080p."""
+    def pair(a, b):
+        hi = jax.lax.bitcast_convert_type(
+            a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(
+            b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
+
+    return jnp.stack([
+        channels[0], channels[1],
+        pair(channels[2], channels[3]),
+        pair(channels[4], channels[5]),
+        pair(channels[6], channels[7]),
+        pair(channels[8], channels[9])], axis=0)
+
+
 def _pixel_grids(origin_x, origin_y):
     """(1, P) pixel-center coordinates of a tile at (origin_x, origin_y)."""
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
@@ -63,14 +113,9 @@ def _origin(t, tiles_x):
     return ox, oy
 
 
-def _chunk_geometry(chunk_t, count, k_offset, px, py):
+def _chunk_geometry(chunk_t, count, k_offset, px, py, packed=False):
     """chunk_t (CH, ROWS) attrs -> alpha/ep/dx/dy/active, all (CH, P)."""
-    mx = chunk_t[:, 0:1]
-    my = chunk_t[:, 1:2]
-    ca = chunk_t[:, 2:3]
-    cb = chunk_t[:, 3:4]
-    cc = chunk_t[:, 4:5]
-    op = chunk_t[:, 5:6]
+    mx, my, ca, cb, cc, op, _, _ = _read_attrs(chunk_t, packed)
     dx = px - mx                               # (CH, P)
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -348,7 +393,8 @@ composite_tiles.defvjp(_ct_fwd, _ct_bwd)
 # ---------------------------------------------------------------------------
 
 def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
-                      tril_ref, out_ref, win_ref, *, k, tiles_x):
+                      tril_ref, out_ref, win_ref, *, k, tiles_x,
+                      packed=False):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -367,16 +413,16 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     def body(c, carry):
         log_acc, rgb, acc, dep = carry
         off = aligned + c * CH
-        chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]  # (CH, 16)
+        chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]
         alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
-                                            c * CH - skip, px, py)
+                                            c * CH - skip, px, py,
+                                            packed=packed)
         log_t = jnp.log1p(-alpha)
         excl = log_acc + jax.lax.dot_general(
             tril, log_t, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         w = jnp.exp(excl) * alpha
-        color_t = chunk_t[:, 6:9]                        # (CH, 3)
-        depth_c = chunk_t[:, 9:10]
+        _, _, _, _, _, _, color_t, depth_c = _read_attrs(chunk_t, packed)
         rgb = rgb + jax.lax.dot_general(
             color_t, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (3, P)
@@ -482,13 +528,13 @@ def _fused_bwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     dslots_ref[0] = dwin_ref[pl.ds(0, k + KPAD), :]
 
 
-def _stagger_specs(k):
+def _stagger_specs(k, width=16):
     return [
-        pl.BlockSpec((k, 16), lambda t, s, c: (s[t] // k + 0, 0),
+        pl.BlockSpec((k, width), lambda t, s, c: (s[t] // k + 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, 16), lambda t, s, c: (s[t] // k + 1, 0),
+        pl.BlockSpec((k, width), lambda t, s, c: (s[t] // k + 1, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, 16), lambda t, s, c: (s[t] // k + 2, 0),
+        pl.BlockSpec((k, width), lambda t, s, c: (s[t] // k + 2, 0),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -496,18 +542,21 @@ def _stagger_specs(k):
 def _run_fused_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
     tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
             ).astype(jnp.float32)
+    width = sorted_mat.shape[1]
+    packed = width == 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=_stagger_specs(k) + [
+        in_specs=_stagger_specs(k, width) + [
             pl.BlockSpec((CH, CH), lambda t, s, c: (0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((3 * k, 16), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((3 * k, width), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_fused_fwd_kernel, k=k, tiles_x=tiles_x),
+        functools.partial(_fused_fwd_kernel, k=k, tiles_x=tiles_x,
+                          packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -564,9 +613,29 @@ def composite_sorted(sorted_mat: jnp.ndarray, starts: jnp.ndarray,
     return out
 
 
+def _unpack_stream_jnp(mat8: jnp.ndarray) -> jnp.ndarray:
+    """(E, 8) packed stream -> (E, 10) f32 (CPU fallback of _read_attrs)."""
+    def unpack(col):
+        v = jax.lax.bitcast_convert_type(col, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            v & jnp.uint32(0xFFFF0000), jnp.float32)
+        lo = jax.lax.bitcast_convert_type(v << 16, jnp.float32)
+        return hi, lo
+
+    ca, cb = unpack(mat8[:, 2])
+    cc, op = unpack(mat8[:, 3])
+    r, g = unpack(mat8[:, 4])
+    b, d = unpack(mat8[:, 5])
+    return jnp.stack([mat8[:, 0], mat8[:, 1], ca, cb, cc, op, r, g, b, d],
+                     axis=1)
+
+
 def _cs_jnp(sorted_mat, starts, counts, tiles_x, num_tiles, k):
+    if sorted_mat.shape[1] == 8:
+        sorted_mat = _unpack_stream_jnp(sorted_mat)
     slots = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(sorted_mat, (s, 0), (k, 16)))(starts)
+        lambda s: jax.lax.dynamic_slice(
+            sorted_mat, (s, 0), (k, sorted_mat.shape[1])))(starts)
     return _composite_jnp(slots[..., :10], jnp.minimum(counts, k),
                           _tile_origins(num_tiles, tiles_x))
 
@@ -584,6 +653,10 @@ def _cs_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
 
 def _cs_bwd(tiles_x, num_tiles, k, res, dout):
     sorted_mat, starts, counts = res
+    if sorted_mat.shape[1] == 8:
+        raise NotImplementedError(
+            'the packed (inference) stream layout is not differentiable; '
+            'use the 16-channel layout for training')
     e_pad = sorted_mat.shape[0]
     if jax.default_backend() != 'tpu':
         d_sorted = jax.vjp(

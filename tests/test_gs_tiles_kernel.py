@@ -156,3 +156,27 @@ class TestCompositeSorted:
         g = jax.grad(loss)(mat)
         assert g.shape == mat.shape
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_packed_stream_matches_unpacked(rng):
+    """Inference packed-payload path vs the full-precision path (bf16 attr
+    quantization tolerance)."""
+    from nerficg_tpu.ops.gs_rasterize import rasterize_gaussians
+    n = 300
+    ks = jax.random.split(rng, 7)
+    means2d = jnp.stack([jax.random.uniform(ks[0], (n,), maxval=64.0),
+                         jax.random.uniform(ks[1], (n,), maxval=48.0)], -1)
+    depths = jax.random.uniform(ks[2], (n,), minval=0.5, maxval=5.0)
+    conics = jnp.stack([jnp.full((n,), 0.2), jnp.zeros(n),
+                        jnp.full((n,), 0.2)], -1)
+    radii = jnp.full((n,), 5.0)
+    colors = jax.random.uniform(ks[3], (n, 3))
+    opac = jax.random.uniform(ks[4], (n,), minval=0.2, maxval=0.9)
+    vis = jnp.ones(n, bool)
+    args = (means2d, depths, conics, radii, colors, opac, vis, 64, 48,
+            jnp.zeros(3))
+    full = rasterize_gaussians(*args, max_per_tile=128)
+    packed = rasterize_gaussians(*args, max_per_tile=128,
+                                 packed_inference=True)
+    err = float(jnp.abs(full['rgb'] - packed['rgb']).max())
+    assert err < 0.02, err
