@@ -122,8 +122,7 @@ def main_quality() -> None:
     ships in this environment; see VERDICT #5 / README)."""
     import tempfile
 
-    sys.path.insert(0, str(Path(__file__).resolve().parent / 'tests'))
-    from conftest import _make_synthetic_scene
+    from nerficg_tpu.data.synthetic import make_synthetic_scene
 
     from nerficg_tpu.core.registry import Datasets, Methods
     from nerficg_tpu.core.setup import setup
@@ -132,7 +131,7 @@ def main_quality() -> None:
 
     root = Path(tempfile.mkdtemp()) / 'scene'
     root.mkdir()
-    _make_synthetic_scene(root, image_size=64)
+    make_synthetic_scene(root, image_size=64)
     cfg = ConfigNode({
         'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'DATASET_TYPE': 'NeRF',
                    'RANDOM_SEED': 0},

@@ -1,0 +1,148 @@
+"""Procedural synthetic scene generators (Blender / D-NeRF format).
+
+Used by the test suite fixtures AND bench.py --quality: an analytically
+composited gaussian-blob scene a radiance field can actually fit, written
+in the reference's dataset formats (no real scene data ships in this
+environment). Static variant: NeRF transforms; dynamic variant: D-NeRF
+transforms with per-frame ``time``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ['make_synthetic_scene', 'make_dynamic_scene']
+
+
+def make_synthetic_scene(root, image_size=24, n_train=8, n_test=2):
+    import json
+    import math
+
+    from PIL import Image
+
+    def render_blob(c2w, size):
+        """Analytic alpha-composited render of a gaussian density blob at the
+        origin: serves as ground truth a NeRF can actually fit."""
+        focal = 0.5 * size / math.tan(0.5 * math.radians(45.0))
+        ys, xs = np.mgrid[0:size, 0:size].astype(np.float64) + 0.5
+        dirs = np.stack([(xs - size / 2) / focal, (ys - size / 2) / focal,
+                         np.ones_like(xs)], -1)
+        dirs = dirs @ c2w[:3, :3].T
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        origin = c2w[:3, 3]
+        # March 64 steps from t=2 to t=6.
+        ts = np.linspace(2.0, 6.0, 64)
+        dt = ts[1] - ts[0]
+        pts = origin[None, None, None, :] + dirs[:, :, None, :] * ts[None, None, :, None]
+        r2 = np.sum(pts * pts, axis=-1)
+        sigma = 8.0 * np.exp(-r2 / (2 * 0.4 ** 2))
+        alpha = 1.0 - np.exp(-sigma * dt)
+        trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
+        trans = np.concatenate([np.ones_like(trans[..., :1]), trans[..., :-1]], -1)
+        w = trans * alpha
+        # Color varies with position for a learnable signal.
+        color = 0.5 + 0.5 * np.tanh(pts[..., :3])
+        rgb = np.einsum('hws,hwsc->hwc', w, color)
+        acc = w.sum(-1)
+        return np.clip(rgb, 0, 1), np.clip(acc, 0, 1)
+
+    def pose_on_circle(angle, radius=4.0):
+        eye = np.array([radius * math.sin(angle), 0.0, radius * math.cos(angle)])
+        forward = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, forward)
+        right /= np.linalg.norm(right)
+        down = np.cross(forward, right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, forward, eye
+        return c2w
+
+    for split, count in (('train', n_train), ('test', n_test)):
+        frames = []
+        (root / split).mkdir(parents=True, exist_ok=True)
+        for i in range(count):
+            angle = 2 * math.pi * (i + (0.5 if split == 'test' else 0)) / max(count, 1)
+            c2w_colmap = pose_on_circle(angle)
+            rgb, acc = render_blob(c2w_colmap, image_size)
+            rgba = np.concatenate([rgb, acc[..., None]], -1)
+            img = Image.fromarray((rgba * 255).astype(np.uint8))
+            rel = f'{split}/r_{i}'
+            img.save(root / f'{rel}.png')
+            # Write OpenGL-convention matrix (the loader converts back).
+            c2w_gl = c2w_colmap.copy()
+            c2w_gl[:3, 1] *= -1
+            c2w_gl[:3, 2] *= -1
+            frames.append({'file_path': f'./{rel}',
+                           'transform_matrix': c2w_gl.tolist()})
+        meta = {'camera_angle_x': math.radians(45.0), 'frames': frames}
+        with open(root / f'transforms_{split}.json', 'w') as f:
+            json.dump(meta, f)
+    return root
+
+
+
+
+def make_dynamic_scene(root, image_size=24, n_train=10, n_test=3):
+    import json
+    import math
+
+    from PIL import Image
+
+    def render_blob(c2w, size, t):
+        focal = 0.5 * size / math.tan(0.5 * math.radians(45.0))
+        ys, xs = np.mgrid[0:size, 0:size].astype(np.float64) + 0.5
+        dirs = np.stack([(xs - size / 2) / focal, (ys - size / 2) / focal,
+                         np.ones_like(xs)], -1)
+        dirs = dirs @ c2w[:3, :3].T
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        origin = c2w[:3, 3]
+        ts = np.linspace(2.0, 6.0, 64)
+        dt = ts[1] - ts[0]
+        pts = origin[None, None, None, :] + dirs[:, :, None, :] * ts[None, None, :, None]
+        center = np.array([0.6 * (t - 0.5), 0.0, 0.0])
+        r2 = np.sum((pts - center) ** 2, axis=-1)
+        sigma = 8.0 * np.exp(-r2 / (2 * 0.4 ** 2))
+        alpha = 1.0 - np.exp(-sigma * dt)
+        trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
+        trans = np.concatenate([np.ones_like(trans[..., :1]),
+                                trans[..., :-1]], -1)
+        w = trans * alpha
+        color = 0.5 + 0.5 * np.tanh(pts[..., :3] - center)
+        rgb = np.einsum('hws,hwsc->hwc', w, color)
+        acc = w.sum(-1)
+        return np.clip(rgb, 0, 1), np.clip(acc, 0, 1)
+
+    def pose_on_circle(angle, radius=4.0):
+        eye = np.array([radius * math.sin(angle), 0.0,
+                        radius * math.cos(angle)])
+        forward = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, forward)
+        right /= np.linalg.norm(right)
+        down = np.cross(forward, right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = \
+            right, down, forward, eye
+        return c2w
+
+    for split, count in (('train', n_train), ('test', n_test)):
+        frames = []
+        (root / split).mkdir(parents=True, exist_ok=True)
+        for i in range(count):
+            t = i / max(count - 1, 1)
+            angle = 2 * math.pi * (i + (0.5 if split == 'test' else 0)) / max(count, 1)
+            c2w_colmap = pose_on_circle(angle)
+            rgb, acc = render_blob(c2w_colmap, image_size, t)
+            rgba = np.concatenate([rgb, acc[..., None]], -1)
+            img = Image.fromarray((rgba * 255).astype(np.uint8))
+            rel = f'{split}/r_{i}'
+            img.save(root / f'{rel}.png')
+            c2w_gl = c2w_colmap.copy()
+            c2w_gl[:3, 1] *= -1
+            c2w_gl[:3, 2] *= -1
+            frames.append({'file_path': f'./{rel}', 'time': t,
+                           'transform_matrix': c2w_gl.tolist()})
+        meta = {'camera_angle_x': math.radians(45.0), 'frames': frames}
+        with open(root / f'transforms_{split}.json', 'w') as f:
+            json.dump(meta, f)
+    return root
