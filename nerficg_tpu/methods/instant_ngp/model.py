@@ -23,7 +23,6 @@ import numpy as np
 from nerficg_tpu.core.config import Configurable
 from nerficg_tpu.methods.base.model import BaseModel
 from nerficg_tpu.ops.encoding import sh_encode
-from nerficg_tpu.ops.hash_fused import hash_encode_fused
 from nerficg_tpu.ops.hash_xbar import (hash_encode_xbar,
                                        hash_encode_xbar_posgrad,
                                        hash_encode_xbar_stochastic,
@@ -70,8 +69,8 @@ def _mlp(ws, x, compute_dtype=jnp.bfloat16):
     # the lane crossbar has no fast TPU primitive (PERF_NOTES.md), so larger
     # tables pay linearly in the S-loop/one-hot row count.
     LOG2_HASHMAP_SIZE=14,
-    # 'xbar' = crossbar gather encode (ops/hash_xbar.py, default);
-    # 'onehot' = round-1 MXU one-hot encode (ops/hash_fused.py).
+    # 'xbar' = crossbar gather encode (ops/hash_xbar.py); the round-1
+    # one-hot MXU encode (hash_fused) was removed after being superseded.
     ENCODING_BACKEND='xbar',
     # Training-time stochastic trilinear interpolation: number of corners
     # evaluated per (sample, level) — 1, 2, or 4 (unbiased estimators with
@@ -171,17 +170,14 @@ class InstantNGPModel(BaseModel):
                 enc = hash_encode_xbar_stochastic_posgrad \
                     if self.NEEDS_POS_GRAD else hash_encode_xbar_stochastic
                 feats = enc(params['hash_table'], unit, encode_seed,
-                            self.hash_config, n_corners) \
-                    if self.NEEDS_POS_GRAD else enc(
-                        params['hash_table'], unit, encode_seed,
-                        self.hash_config, n_corners)
+                            self.hash_config, n_corners)
             else:
                 enc = hash_encode_xbar_posgrad if self.NEEDS_POS_GRAD \
                     else hash_encode_xbar
                 feats = enc(params['hash_table'], unit, self.hash_config)
         else:
-            feats = hash_encode_fused(params['hash_table'], unit,
-                                      self.hash_config)
+            raise ValueError(
+                f'unknown ENCODING_BACKEND {self.ENCODING_BACKEND!r}')
         h = _mlp(params['density_mlp'], feats)
         sigma = trunc_exp(h[..., 0])
         return sigma, h[..., 1:]

@@ -190,9 +190,13 @@ class InstantNGPRenderer(BaseRenderer):
         grid only changes on update_occupancy_grid, and recomputing it every
         step costs a dispatch."""
         grid = self.model.buffers['density_grid']
-        if getattr(self, '_grid_cache_key', None) != id(grid):
+        # Key the cache on object IDENTITY while holding a reference to the
+        # keyed array: a plain id() key can collide when CPython reuses a
+        # freed array's address after two buffer swaps without an intervening
+        # call (advisor finding, round 2).
+        if getattr(self, '_grid_cache_src', None) is not grid:
             self._grid_binary_cache = self._grid_binary_jit(grid)
-            self._grid_cache_key = id(grid)
+            self._grid_cache_src = grid
         return self._grid_binary_cache
 
     def update_occupancy_grid(self, rng: jax.Array, warmup: bool = False) -> None:

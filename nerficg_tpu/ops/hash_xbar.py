@@ -481,6 +481,12 @@ def _bwd_kernel(res_ref, rows_ref, dense_ref, seed_ref, pos_ref, g_ref,
 def _bwd_pallas(table_shape, positions, g, config, seed, n_corners):
     levels = table_shape[0]
     res_arr, rows_arr, dense_arr, r_max = _scalar_args(config)
+    if r_max > _LANES:
+        raise ValueError(
+            f'hash_encode_xbar backward: table extent {r_max * _LANES} '
+            f'(log2_table_size={config.log2_table_size}) exceeds the '
+            f'single-block one-hot limit of {_LANES * _LANES} entries; '
+            f'use log2_table_size <= 14 or the sorted-stream encode')
     # IMPORTANT: must match the forward's tiling exactly — the stochastic
     # corner choice is replayed from the per-(level, tile) PRNG stream.
     tile_n = _tile_n(positions.shape[0])
@@ -530,8 +536,12 @@ def _bwd_pallas(table_shape, positions, g, config, seed, n_corners):
 
 def _bwd_pos_kernel(res_ref, rows_ref, dense_ref, seed_ref, pos_ref,
                     tab_ref, g_ref, dpos_ref, *, n_corners: int):
-    lvl = pl.program_id(0)
-    tile = pl.program_id(1)
+    # Grid is (n_tiles, levels) with levels INNERMOST: Pallas only guarantees
+    # output-block accumulation across consecutive revisits of the same block,
+    # and each dpos tile-block is revisited once per level — so the level
+    # dimension must iterate fastest (advisor finding, round 2).
+    tile = pl.program_id(0)
+    lvl = pl.program_id(1)
 
     @pl.when(lvl == 0)
     def _():
@@ -604,21 +614,21 @@ def _bwd_pos_pallas(table, positions, g, config, seed, n_corners):
     kernel = functools.partial(_bwd_pos_kernel, n_corners=n_corners)
     dpos = pl.pallas_call(
         kernel,
-        grid=(levels, n_tiles),
+        grid=(n_tiles, levels),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, s_tiles, _LANES), lambda l, t: (0, t, 0),
+            pl.BlockSpec((3, s_tiles, _LANES), lambda t, l: (0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_max, _LANES), lambda l, t: (l, 0, 0),
+            pl.BlockSpec((1, r_max, _LANES), lambda t, l: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, s_tiles, _LANES), lambda l, t: (l, 0, t, 0),
+            pl.BlockSpec((1, 2, s_tiles, _LANES), lambda t, l: (l, 0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, s_tiles, _LANES),
-                               lambda l, t: (0, 0, t, 0),
+                               lambda t, l: (0, 0, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 3, m // _LANES, _LANES),
                                        jnp.float32),

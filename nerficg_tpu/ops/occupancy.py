@@ -460,14 +460,19 @@ def occupancy_probe_cascaded(packed: jnp.ndarray, positions: jnp.ndarray,
     unit = (positions - center) / (2.0 * half[..., None]) + 0.5
     coords = jnp.clip((unit * resolution).astype(jnp.int32),
                       0, resolution - 1)
-    flat = (coords[..., 0] * resolution + coords[..., 1]) * resolution + \
+    local = (coords[..., 0] * resolution + coords[..., 1]) * resolution + \
         coords[..., 2]
-    flat = flat + c * (resolution ** 3)
-    shape = flat.shape
-    flat = flat.reshape(-1)
-    words = xbar_gather(packed.reshape(-1, 128), jnp.right_shift(flat, 5))
+    shape = local.shape
+    local = local.reshape(-1)
+    # pack_bits pads each cascade's bitfield to a multiple of 32*128 bits, so
+    # the word offset of cascade c is c * words_per_cascade — NOT
+    # (c * res^3) >> 5, which is only equal when res^3 divides 4096
+    # (advisor finding, round 2).
+    words_per_cascade = packed.shape[1] * 128
+    word_idx = c.reshape(-1) * words_per_cascade + jnp.right_shift(local, 5)
+    words = xbar_gather(packed.reshape(-1, 128), word_idx)
     bits = jnp.bitwise_and(
-        jnp.right_shift(words, jnp.bitwise_and(flat, 31)), 1)
+        jnp.right_shift(words, jnp.bitwise_and(local, 31)), 1)
     return (bits == 1).reshape(shape)
 
 

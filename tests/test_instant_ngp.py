@@ -357,65 +357,6 @@ class TestMXUHashEncode:
         assert float(jnp.abs(grads['hash_table']).sum()) > 0
 
 
-class TestFusedHashEncode:
-    """hash_encode_fused (ops/hash_fused.py): the fully-fused TPU encode.
-
-    On CPU the public entry routes to the jnp fallback; these tests pin the
-    fallback to the reference (L, T, F) implementation so the Pallas kernel
-    (validated against the same fallback on TPU) is transitively checked.
-    """
-
-    def _setup(self, rng):
-        from nerficg_tpu.ops.hashgrid import (HashGridConfig,
-                                              init_hash_grid_mxu)
-        cfg = HashGridConfig(num_levels=4, features_per_level=2,
-                             log2_table_size=10, base_resolution=4,
-                             target_resolution=32)
-        table_mxu = init_hash_grid_mxu(rng, cfg)
-        L, F, R, _ = table_mxu.shape
-        table_ref = table_mxu.reshape(L, F, R * 128).transpose(0, 2, 1)
-        return cfg, table_mxu, table_ref
-
-    def test_forward_matches_reference(self, rng):
-        import jax
-        from nerficg_tpu.ops.hash_fused import hash_encode_fused
-        from nerficg_tpu.ops.hashgrid import hash_grid_encode
-        cfg, table_mxu, table_ref = self._setup(rng)
-        pos = jax.random.uniform(jax.random.PRNGKey(1), (77, 3))
-        out = hash_encode_fused(table_mxu, pos, cfg)
-        ref = hash_grid_encode(table_ref, pos, cfg)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=1e-5)
-
-    def test_vjp_matches_reference(self, rng):
-        import jax
-        import jax.numpy as jnp
-        from nerficg_tpu.ops.hash_fused import hash_encode_fused
-        from nerficg_tpu.ops.hashgrid import hash_grid_encode
-        cfg, table_mxu, table_ref = self._setup(rng)
-        pos = jax.random.uniform(jax.random.PRNGKey(1), (50, 3))
-        cot = jax.random.normal(jax.random.PRNGKey(2), (50, cfg.output_dim))
-        g = jax.grad(lambda t: jnp.sum(hash_encode_fused(t, pos, cfg) * cot))(
-            table_mxu)
-        g_ref = jax.grad(lambda t: jnp.sum(hash_grid_encode(t, pos, cfg) *
-                                           cot))(table_ref)
-        L, F, R, _ = g.shape
-        np.testing.assert_allclose(
-            np.asarray(g.reshape(L, F, R * 128).transpose(0, 2, 1)),
-            np.asarray(g_ref), atol=1e-4, rtol=1e-4)
-
-    def test_padding_invariance(self, rng):
-        """Non-TILE_N-multiple sample counts: padding must not leak."""
-        import jax
-        from nerficg_tpu.ops.hash_fused import hash_encode_fused
-        cfg, table_mxu, _ = self._setup(rng)
-        pos = jax.random.uniform(jax.random.PRNGKey(1), (130, 3))
-        full = hash_encode_fused(table_mxu, pos, cfg)
-        part = hash_encode_fused(table_mxu, pos[:97], cfg)
-        np.testing.assert_allclose(np.asarray(full[:97]), np.asarray(part),
-                                   atol=1e-6)
-
-
 class TestProgressiveInference:
     def test_refine_improves_truncated_rays(self, rng):
         """Dense scene + tiny base budget: the refine pass must recover

@@ -1,0 +1,226 @@
+#!/usr/bin/env python3
+"""INGP train-step component profiler (run on the TPU chip).
+
+Methodology (PERF_NOTES.md): chained dispatches — each call consumes the
+previous call's scalar output so the queue never drains — with ONE host
+fetch at the end; per-call cost = (total - fetch_overhead) / iters.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update('jax_compilation_cache_dir', str(Path.home() / '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+
+
+def timed(fn, args, iters=30, label=''):
+    """Chained timing: fn must return arrays; we fold a scalar of the output
+    back into the first arg to serialize the chain."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    leaves = jax.tree_util.tree_leaves(out)
+    chain = jnp.zeros(())
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        leaves = jax.tree_util.tree_leaves(out)
+        chain = chain + jnp.sum(leaves[0].ravel()[:1])
+    float(chain)
+    total = time.perf_counter() - start
+    per = (total - 0.027) / iters * 1000.0
+    print(f'{label:42s} {per:8.3f} ms')
+    return per
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--which', default='all')
+    args = parser.parse_args()
+
+    from nerficg_tpu.core.config import ConfigNode
+    from nerficg_tpu.core.logging import Logger
+    from nerficg_tpu.core.registry import Methods
+    Logger.set_level('SILENT')
+
+    config = ConfigNode({
+        'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'RANDOM_SEED': 0},
+        'MODEL': {},
+        'RENDERER': {'MAX_SAMPLES': 512, 'AVG_SAMPLES_PER_RAY': 32},
+        'TRAINING': {'INITIAL_RAYS_PER_BATCH': 8192,
+                     'TARGET_BATCH_SIZE': 262144,
+                     'RANDOM_BACKGROUND': True},
+    })
+    trainer = Methods.get_training_instance(config)
+    model = trainer.model
+    renderer = trainer.renderer
+
+    rng = jax.random.PRNGKey(0)
+    n_rays = 8192
+    k1, k2, k3 = jax.random.split(rng, 3)
+    angles = jax.random.uniform(k1, (n_rays,), maxval=2 * np.pi)
+    origins = jnp.stack([1.2 * jnp.cos(angles),
+                         jax.random.uniform(k1, (n_rays,), minval=-0.3,
+                                            maxval=0.3),
+                         1.2 * jnp.sin(angles)], axis=-1)
+    targets = jax.random.uniform(k2, (n_rays, 3), minval=-0.4, maxval=0.4)
+    directions = targets - origins
+    directions = directions / jnp.linalg.norm(directions, axis=-1,
+                                              keepdims=True)
+    target_rgb = jax.random.uniform(k3, (n_rays, 3))
+
+    res = int(model.GRID_RESOLUTION)
+    ax = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res - 0.5
+    r2 = (ax[:, None, None] ** 2 + ax[None, :, None] ** 2 +
+          ax[None, None, :] ** 2)
+    shell = (r2 > 0.29 ** 2) & (r2 < 0.31 ** 2)
+    model.buffers['density_grid'] = shell.reshape(-1).astype(jnp.float32) * \
+        4.0 * renderer.density_threshold
+    grid = renderer.grid_binary()
+
+    n_samples = 262144
+    positions = jax.random.uniform(jax.random.PRNGKey(5), (n_samples, 3),
+                                   minval=0.0, maxval=1.0 - 1e-6)
+    table = model.params['hash_table']
+    cfg = model.hash_config
+    seed = jnp.asarray([[123]], jnp.int32)
+    gcot = jax.random.normal(jax.random.PRNGKey(6),
+                             (n_samples, cfg.output_dim))
+
+    from nerficg_tpu.ops.hash_xbar import (hash_encode_xbar,
+                                           hash_encode_xbar_stochastic)
+    from nerficg_tpu.ops.occupancy import march_rays
+
+    which = args.which
+
+    if which in ('all', 'step'):
+        # full train step via the trainer's own jitted fn
+        trainer._pool = {'origins': origins, 'directions': directions,
+                         'rgb': target_rgb, 'alpha': None}
+        trainer._pool_size = n_rays
+        step = trainer._get_train_step(n_rays)
+        opt_state = trainer.optimizer.init(model.params)
+        ids = jnp.arange(n_rays, dtype=jnp.int32)
+        bg = jnp.zeros(3)
+
+        def full_step(params, opt_state):
+            p, o, logs = step(params, opt_state, grid, trainer._pool, ids,
+                              jax.random.PRNGKey(1), bg)
+            return p, o
+        p, o = full_step(model.params, opt_state)
+        jax.block_until_ready(p)
+        # chained: reuse output params as next input
+        start = time.perf_counter()
+        iters = 30
+        for _ in range(iters):
+            p, o = full_step(p, o)
+        jax.block_until_ready(p)
+        total = time.perf_counter() - start
+        print(f'{"full train step (8192 rays/262k samples)":42s} '
+              f'{total / iters * 1000.0:8.3f} ms')
+
+    if which in ('all', 'march'):
+        march_j = jax.jit(lambda o, d, r: march_rays(
+            o, d, model.aabb_min, model.aabb_max, grid,
+            renderer._march_res, max_steps=512, sample_budget=262144,
+            rng=r, block=8, exponential=False))
+        timed(march_j, (origins, directions, jax.random.PRNGKey(1)),
+              label='march_rays (8192 rays, 512 steps)')
+
+    if which in ('all', 'encode'):
+        enc2 = jax.jit(lambda t, p: hash_encode_xbar_stochastic(
+            t, p, seed, cfg, 2))
+        timed(enc2, (table, positions), label='encode fwd stoch-2 (262k)')
+        ence = jax.jit(lambda t, p: hash_encode_xbar(t, p, cfg))
+        timed(ence, (table, positions), label='encode fwd exact-8 (262k)')
+
+        enc2g = jax.jit(jax.grad(lambda t, p: jnp.sum(
+            hash_encode_xbar_stochastic(t, p, seed, cfg, 2) * gcot)))
+        timed(enc2g, (table, positions), label='encode fwd+bwd stoch-2 (262k)')
+        enceg = jax.jit(jax.grad(lambda t, p: jnp.sum(
+            hash_encode_xbar(t, p, cfg) * gcot)))
+        timed(enceg, (table, positions), label='encode fwd+bwd exact-8 (262k)')
+
+    if which in ('all', 'mlp'):
+        dirs_s = jnp.broadcast_to(directions[:1], (n_samples, 3))
+
+        def field_loss(params, pos):
+            sigma, rgb = model.field(params, pos, dirs_s, encode_seed=None)
+            return jnp.sum(sigma) + jnp.sum(rgb)
+        fl = jax.jit(jax.grad(field_loss))
+        timed(fl, (model.params, positions),
+              label='field fwd+bwd exact (262k, incl encode)')
+
+        def mlponly(params, feats):
+            from nerficg_tpu.methods.instant_ngp.model import _mlp, trunc_exp
+            h = _mlp(params['density_mlp'], feats)
+            sigma = trunc_exp(h[..., 0])
+            rgb = model.color(params, h[..., 1:], dirs_s)
+            return jnp.sum(sigma) + jnp.sum(rgb)
+        feats = jnp.zeros((n_samples, cfg.output_dim))
+        ml = jax.jit(jax.grad(mlponly, argnums=(0, 1)))
+        timed(ml, (model.params, feats), label='MLPs fwd+bwd (262k)')
+
+    if which in ('all', 'sort'):
+        # cost out the sorted-stream design primitives
+        keys = jax.random.randint(jax.random.PRNGKey(7), (n_samples,),
+                                  0, 1 << 30, jnp.int32)
+        pay = jax.random.normal(jax.random.PRNGKey(8), (6, n_samples))
+
+        def sort6(k, p):
+            ops = jax.lax.sort((k,) + tuple(p), num_keys=1)
+            return ops[0], jnp.stack(ops[1:])
+        s6 = jax.jit(sort6)
+        timed(s6, (keys, pay), label='lax.sort 262k key + 6 payloads')
+
+        def sort2(k, p):
+            ops = jax.lax.sort((k, p[0], p[1]), num_keys=1)
+            return ops[0], ops[1]
+        s2 = jax.jit(sort2)
+        timed(s2, (keys, pay), label='lax.sort 262k key + 2 payloads')
+
+        pay16 = jax.random.normal(jax.random.PRNGKey(8), (16, n_samples))
+
+        def sort16(k, p):
+            ops = jax.lax.sort((k,) + tuple(p), num_keys=1)
+            return ops[0], jnp.stack(ops[1:])
+        s16 = jax.jit(sort16)
+        timed(s16, (keys, pay16), label='lax.sort 262k key + 16 payloads')
+
+        # argsort then gather rows (32 channels) — the "unsort" candidate
+        def argsort_gather(k, p):
+            order = jnp.argsort(k)
+            return p[:, order]
+        ag = jax.jit(argsort_gather)
+        timed(ag, (keys, pay16), label='argsort + take 16ch (262k)')
+
+    if which in ('all', 'glue'):
+        # composite on a fake march result
+        from nerficg_tpu.ops.occupancy import composite_packed
+        march_j = jax.jit(lambda o, d, r: march_rays(
+            o, d, model.aabb_min, model.aabb_max, grid,
+            renderer._march_res, max_steps=512, sample_budget=262144,
+            rng=r, block=8, exponential=False))
+        march = march_j(origins, directions, jax.random.PRNGKey(1))
+        sigma = jax.random.uniform(jax.random.PRNGKey(9), (262144,))
+        rgbs = jax.random.uniform(jax.random.PRNGKey(10), (262144, 3))
+
+        def comp(s, c):
+            out = composite_packed(s, c, march, n_rays,
+                                   background=jnp.zeros(3))
+            return out['rgb']
+        cj = jax.jit(jax.grad(lambda s, c: jnp.sum(comp(s, c)),
+                              argnums=(0, 1)))
+        timed(cj, (sigma, rgbs), label='composite fwd+bwd (262k)')
+
+
+if __name__ == '__main__':
+    main()
