@@ -110,24 +110,39 @@ class BaseRenderer(Configurable):
                 per_image_metrics.append(compute_all_metrics(pred8, gt8))
         metrics: dict[str, float] = {}
         if per_image_metrics:
+            unavailable = []
             for key in per_image_metrics[0]:
                 vals = [m[key] for m in per_image_metrics]
                 if np.all(np.isnan(vals)):
-                    continue  # metric unavailable (e.g. LPIPS weights missing)
+                    # degrade LOUDLY: record why the column is absent
+                    # instead of leaving silent NaNs (round-2 verdict #7)
+                    unavailable.append(key)
+                    continue
                 metrics[key] = float(np.nanmean(vals))
+            for key in unavailable:
+                Logger.warning(
+                    f'metric {key!r} unavailable'
+                    + (' (no LPIPS/VGG weights: set NERFICG_LPIPS_WEIGHTS, '
+                       'see optim/lpips_jax.py)' if 'lpips' in key else ''))
             if output_dir is not None:
                 self._write_metrics_file(output_dir / 'metrics_8bit.txt',
-                                         per_image_metrics, metrics)
+                                         per_image_metrics, metrics,
+                                         unavailable=unavailable)
             Logger.info(f'{subset} metrics: ' +
                         ', '.join(f'{k}={v:.4f}' for k, v in metrics.items()))
         return metrics
 
     @staticmethod
-    def _write_metrics_file(path: Path, per_image: list[dict], mean: dict) -> None:
+    def _write_metrics_file(path: Path, per_image: list[dict], mean: dict,
+                            unavailable: list[str] = ()) -> None:
         """metrics_8bit.txt with machine-parsable last line
         (reference: Renderer.py:150-161)."""
         path.parent.mkdir(parents=True, exist_ok=True)
         with open(path, 'w') as f:
+            for key in unavailable:
+                f.write(f'# {key}: unavailable'
+                        + (' (no weights file; set NERFICG_LPIPS_WEIGHTS)'
+                           if 'lpips' in key else '') + '\n')
             for i, m in enumerate(per_image):
                 f.write(f'{i:05d}: ' + ' '.join(f'{k}={v:.6f}' for k, v in m.items()) + '\n')
             f.write('mean: ' + ' '.join(f'{k}={v:.6f}' for k, v in mean.items()) + '\n')

@@ -42,6 +42,9 @@ __all__ = ['DNeRFModel']
     # straight-through position gradients measurably hurt it
     # (A/B on the procedural dynamic scene: 17.9 vs 12.1 dB at 800 iters).
     STOCHASTIC_CORNERS=0,
+    # The windowed gen-3 encode has no position-gradient kernel yet; the
+    # deformation field needs d(encode)/d(position) (ops/hash_xbar.py).
+    ENCODING_BACKEND='xbar',
 )
 class DNeRFModel(InstantNGPModel):
 

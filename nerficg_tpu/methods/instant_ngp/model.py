@@ -69,9 +69,13 @@ def _mlp(ws, x, compute_dtype=jnp.bfloat16):
     # the lane crossbar has no fast TPU primitive (PERF_NOTES.md), so larger
     # tables pay linearly in the S-loop/one-hot row count.
     LOG2_HASHMAP_SIZE=14,
-    # 'xbar' = crossbar gather encode (ops/hash_xbar.py); the round-1
-    # one-hot MXU encode (hash_fused) was removed after being superseded.
-    ENCODING_BACKEND='xbar',
+    # 'window' = gen-3 windowed sorted-stream encode (ops/hash_window.py;
+    #   the renderer feeds it morton-sorted samples — scan cost follows the
+    #   rows a sub-block touches, not the table extent, and tables can grow
+    #   to the reference's 2^19);
+    # 'xbar' = gen-2 full-scan crossbar encode (ops/hash_xbar.py; required
+    #   for NEEDS_POS_GRAD methods until the windowed posgrad kernel lands).
+    ENCODING_BACKEND='window',
     # Training-time stochastic trilinear interpolation: number of corners
     # evaluated per (sample, level) — 1, 2, or 4 (unbiased estimators with
     # decreasing variance, see ops/hash_xbar.py), or 0 for the exact
@@ -164,9 +168,26 @@ class InstantNGPModel(BaseModel):
         """
         unit = (positions - self.aabb_min) / (self.aabb_max - self.aabb_min)
         unit = jnp.clip(unit, 0.0, 1.0 - 1e-6)
-        if str(self.ENCODING_BACKEND) == 'xbar':
-            n_corners = int(self.STOCHASTIC_CORNERS)
-            if encode_seed is not None and n_corners > 0:
+        backend = str(self.ENCODING_BACKEND)
+        n_corners = int(self.STOCHASTIC_CORNERS)
+        stochastic = encode_seed is not None and n_corners > 0
+        if backend == 'window':
+            if self.NEEDS_POS_GRAD:
+                raise ValueError(
+                    'ENCODING_BACKEND=window has no position-gradient '
+                    'kernel yet; deformation methods must set '
+                    "ENCODING_BACKEND='xbar'")
+            from nerficg_tpu.ops.hash_window import (
+                hash_encode_win, hash_encode_win_stochastic)
+            if stochastic:
+                feats = hash_encode_win_stochastic(
+                    params['hash_table'], unit, encode_seed,
+                    self.hash_config, n_corners)
+            else:
+                feats = hash_encode_win(params['hash_table'], unit,
+                                        self.hash_config)
+        elif backend == 'xbar':
+            if stochastic:
                 enc = hash_encode_xbar_stochastic_posgrad \
                     if self.NEEDS_POS_GRAD else hash_encode_xbar_stochastic
                 feats = enc(params['hash_table'], unit, encode_seed,

@@ -116,18 +116,22 @@ class InstantNGPRenderer(BaseRenderer):
             probe_fn = lambda pos: occupancy_probe_cascaded(
                 grid_binary, pos, self.model.center, float(self.model.SCALE),
                 resolution)
+        use_window = \
+            str(getattr(self.model, 'ENCODING_BACKEND', '')) == 'window'
         march = march_rays(
             origins, directions,
             self.model.aabb_min, self.model.aabb_max,
             grid_binary, resolution,
             max_steps=int(self.MAX_SAMPLES), sample_budget=budget,
             rng=rng if randomized else None, block=int(self.MARCH_BLOCK),
-            exponential=self._exponential, probe_fn=probe_fn)
+            exponential=self._exponential, probe_fn=probe_fn,
+            morton=use_window)
         # Training steps (randomized) use the stochastic single-corner hash
         # encode; inference uses the exact 8-corner path (encode_seed=None).
         encode_seed = jax.random.randint(
             jax.random.fold_in(rng, 7), (1, 1), 0, 2**31 - 1, jnp.int32) \
             if randomized else None
+        field_ids = march.ray_ids_m if use_window else march.ray_ids
         sample_times = None
         if timestamps is not None:
             # Per-sample timestamps: fetch the owning ray's time with the MXU
@@ -137,11 +141,27 @@ class InstantNGPRenderer(BaseRenderer):
             t_table = jnp.pad(timestamps.reshape(-1),
                               (0, rows * 128 - n + 128))[None, None]
             t_table = t_table.reshape(1, 1, -1, 128)
-            safe_ids = jnp.minimum(march.ray_ids, rows * 128 - 1)
+            safe_ids = jnp.minimum(field_ids, rows * 128 - 1)
             sample_times = mxu_gather(safe_ids[None], t_table,
                                       compute_dtype=jnp.float32)[0, 0]
-        sigma, rgb = self._field(params, march.positions, march.directions,
-                                 encode_seed, sample_times)
+        if use_window:
+            # Gen-3 path: the marcher emitted a morton-ordered view of the
+            # compacted blocks, so the windowed encode's per-sub-block table
+            # windows stay tight (ops/hash_window.py); field outputs route
+            # back to ray order via the differentiable block permutation.
+            from nerficg_tpu.ops.sample_sort import permute_block_channels
+            sigma_m, rgb_m = self._field(params, march.positions_m,
+                                         march.directions_m, encode_seed,
+                                         sample_times)
+            ch = permute_block_channels(
+                jnp.stack([sigma_m, rgb_m[:, 0], rgb_m[:, 1], rgb_m[:, 2]]),
+                int(self.MARCH_BLOCK), march.perm_to_ray,
+                march.perm_to_morton)
+            sigma, rgb = ch[0], ch[1:4].T
+        else:
+            sigma, rgb = self._field(params, march.positions,
+                                     march.directions, encode_seed,
+                                     sample_times)
         sigma = jnp.where(march.valid, sigma, 0.0)
         out = composite_packed(sigma, rgb, march, n, background=background,
                                early_stop_eps=float(self.EARLY_STOP_EPS))

@@ -220,6 +220,13 @@ def window_bases(positions: jnp.ndarray, config: HashGridConfig,
     sb_n = sub_block * _LANES
     assert n % sb_n == 0, 'positions must be padded to the sub-block size'
     nsb = n // sb_n
+    # One morton key per sample; every hash level's brick morton is a
+    # prefix of it (floor(x*2^b) == floor(x*1024) >> (10-b) exactly), so
+    # per-level window stats collapse to a shift + min/max.
+    keys = morton_sort_keys(positions)
+    keys_sb = keys.reshape(nsb, sb_n)
+    kmin = keys_sb.min(axis=1)
+    kmax = keys_sb.max(axis=1)
     lo_l, win_l = [], []
     for lv in range(len(lay.res)):
         rows = lay.rows[lv]
@@ -234,14 +241,12 @@ def window_bases(positions: jnp.ndarray, config: HashGridConfig,
             hi = rb.max(axis=1) + pad
         else:
             rpb = max(lay.rpb[lv], 1)
-            nb = round(lay.bscale[lv] * res)                 # 2^b
-            c = jnp.clip((positions * nb).astype(jnp.int32), 0, nb - 1)
-            bm = _morton3_static(c[:, 0], c[:, 1], c[:, 2])
-            bb = bm.reshape(nsb, sb_n)
+            b = round(math.log2(max(lay.bscale[lv] * res, 1.0)))
+            shift = 3 * (10 - b)
             # +-1 brick group absorbs the sortkey-vs-vertex quantization
             # sliver; in-brick corners live inside their brick's rpb rows.
-            lo = (bb.min(axis=1) - 1) * rpb
-            hi = (bb.max(axis=1) + 2) * rpb - 1
+            lo = (jnp.right_shift(kmin, shift) - 1) * rpb
+            hi = (jnp.right_shift(kmax, shift) + 2) * rpb - 1
         # lo stays 8-aligned (the backward's window writes rely on it) and
         # lo + win <= rows by construction: lo <= min row, hi clamped.
         lo = jnp.maximum(lo - (lo % 8), 0)

@@ -44,6 +44,14 @@ class MarchResults(NamedTuple):
     ray_complete: jnp.ndarray  # (R,) bool: ray's samples all fit the budget
     num_blocks: jnp.ndarray   # () occupied blocks over the whole batch
                               # (budget utilization = num_blocks*block/budget)
+    # Morton-ordered view for the windowed encode (``morton=True``): the
+    # same compacted blocks re-expanded in block-morton order, plus the
+    # block permutations to route field outputs back to ray order.
+    positions_m: Optional[jnp.ndarray] = None   # (B, 3)
+    directions_m: Optional[jnp.ndarray] = None  # (B, 3)
+    ray_ids_m: Optional[jnp.ndarray] = None     # (B,)
+    perm_to_ray: Optional[jnp.ndarray] = None   # (Bb,) morton slot of block i
+    perm_to_morton: Optional[jnp.ndarray] = None  # (Bb,) block at morton slot
 
 
 def _hash_jitter(flat_ids: jnp.ndarray, seed) -> jnp.ndarray:
@@ -119,7 +127,8 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
                block: int = 32,
                exponential: bool = False,
                probe_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]]
-               = None) -> MarchResults:
+               = None,
+               morton: bool = False) -> MarchResults:
     """Fixed-step occupancy-skipping ray marcher (replaces CUDA N4).
 
     origins/directions: (R, 3); directions unit-norm.
@@ -197,8 +206,6 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
                                fill_value=nblocks)
     block_valid = block_sel < nblocks
     safe_block = jnp.where(block_valid, block_sel, 0)
-    ray_of_block = safe_block // blocks_per_ray                # (Bb,)
-    block_in_ray = safe_block - ray_of_block * blocks_per_ray
 
     # Per-ray constants fetched with the MXU factored gather (XLA row gather
     # is serial on TPU).
@@ -210,48 +217,56 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     ], axis=0)                                                 # (8, R)
     rows = -(-num_rays // 128)
     ray_table = jnp.pad(ray_table, ((0, 0), (0, rows * 128 - num_rays)))
-    fetched = mxu_gather(ray_of_block[None], ray_table.reshape(
-        1, 8, rows, 128), compute_dtype=jnp.float32)[0]        # (8, Bb)
-    b_tnear, b_rate = fetched[0], fetched[1]
-    b_origins = fetched[2:5].T                                 # (Bb, 3)
-    b_dirs = fetched[5:8].T
+    ray_table = ray_table.reshape(1, 8, rows, 128)
 
-    # Expand blocks to samples: (Bb, block) -> flat (B,).
-    offs = jnp.arange(block, dtype=jnp.float32)[None, :]
-    sample_step = block_in_ray[:, None].astype(jnp.float32) * block + offs
-    sample_flat_id = (ray_of_block[:, None] * max_steps).astype(jnp.uint32) + \
-        sample_step.astype(jnp.uint32)
-    s_jitter = _hash_jitter(sample_flat_id, seed)
-    if exponential:
-        out_ts = b_tnear[:, None] * jnp.exp(
-            (sample_step + s_jitter) * b_rate[:, None])
-        out_dt = out_ts * (jnp.exp(b_rate[:, None]) - 1.0)
-    else:
-        out_ts = (b_tnear[:, None] +
-                  (sample_step + s_jitter) * b_rate[:, None])
-    out_pos = b_origins[:, None, :] + b_dirs[:, None, :] * out_ts[..., None]
-    # Per-sample validity: recheck occupancy at the expanded samples (cheap
-    # second probe over the budget) so partially-filled blocks are masked.
-    unit_s = (out_pos - aabb_min) / (aabb_max - aabb_min)
-    in_box_s = jnp.all((unit_s >= 0.0) & (unit_s < 1.0), axis=-1)
-    if probe_fn is not None:
-        occ_s = probe_fn(out_pos)
-    elif grid_binary.ndim == 2:
-        from nerficg_tpu.ops.xbar_gather import occupancy_probe
-        occ_s = occupancy_probe(grid_binary, unit_s, grid_resolution)
-    else:
-        occ_s = occupancy_lookup(grid_binary, unit_s, grid_resolution)
-    valid = occ_s & in_box_s & block_valid[:, None]            # (Bb, block)
+    def _expand(safe_blk, blk_valid):
+        """Blocks -> samples: positions/ts/deltas/dirs/validity. Pure
+        arithmetic + one small per-ray gather, so it can run twice (once
+        ray-ordered for compositing, once morton-ordered for the encode)."""
+        ray_of_block = safe_blk // blocks_per_ray              # (Bb,)
+        block_in_ray = safe_blk - ray_of_block * blocks_per_ray
+        fetched = mxu_gather(ray_of_block[None], ray_table,
+                             compute_dtype=jnp.float32)[0]     # (8, Bb)
+        b_tnear, b_rate = fetched[0], fetched[1]
+        b_origins = fetched[2:5].T                             # (Bb, 3)
+        b_dirs = fetched[5:8].T
+        offs = jnp.arange(block, dtype=jnp.float32)[None, :]
+        sample_step = block_in_ray[:, None].astype(jnp.float32) * block + offs
+        sample_flat_id = (ray_of_block[:, None] * max_steps
+                          ).astype(jnp.uint32) + sample_step.astype(jnp.uint32)
+        s_jitter = _hash_jitter(sample_flat_id, seed)
+        if exponential:
+            out_ts = b_tnear[:, None] * jnp.exp(
+                (sample_step + s_jitter) * b_rate[:, None])
+            out_dt = out_ts * (jnp.exp(b_rate[:, None]) - 1.0)
+        else:
+            out_ts = (b_tnear[:, None] +
+                      (sample_step + s_jitter) * b_rate[:, None])
+            out_dt = jnp.broadcast_to(b_rate[:, None], out_ts.shape)
+        out_pos = b_origins[:, None, :] + \
+            b_dirs[:, None, :] * out_ts[..., None]
+        # Per-sample validity: recheck occupancy at the expanded samples
+        # (cheap second probe) so partially-filled blocks are masked.
+        unit_s = (out_pos - aabb_min) / (aabb_max - aabb_min)
+        in_box_s = jnp.all((unit_s >= 0.0) & (unit_s < 1.0), axis=-1)
+        if probe_fn is not None:
+            occ_s = probe_fn(out_pos)
+        elif grid_binary.ndim == 2:
+            from nerficg_tpu.ops.xbar_gather import occupancy_probe
+            occ_s = occupancy_probe(grid_binary, unit_s, grid_resolution)
+        else:
+            occ_s = occupancy_lookup(grid_binary, unit_s, grid_resolution)
+        valid_s = occ_s & in_box_s & blk_valid[:, None]        # (Bb, block)
+        out_dirs = jnp.broadcast_to(b_dirs[:, None, :],
+                                    out_pos.shape).reshape(-1, 3)
+        return (out_pos.reshape(-1, 3), out_dirs, out_ts.reshape(-1),
+                out_dt.reshape(-1), ray_of_block, valid_s)
 
-    out_dirs = jnp.broadcast_to(b_dirs[:, None, :],
-                                out_pos.shape).reshape(-1, 3)
-    if not exponential:
-        out_dt = jnp.broadcast_to(b_rate[:, None],
-                                  out_ts.shape)
-    out_dt = out_dt.reshape(-1)
+    out_pos, out_dirs, out_ts, out_dt, ray_of_block, valid2 = _expand(
+        safe_block, block_valid)
+    valid = valid2.reshape(-1)
     ray_ids = jnp.broadcast_to(ray_of_block[:, None],
-                               valid.shape).reshape(-1)
-    valid = valid.reshape(-1)
+                               valid2.shape).reshape(-1)
     num_valid = jnp.sum(valid)
     # Budget-overflow accounting at block granularity: a ray is complete iff
     # the running count of occupied blocks up to its end fits the budget.
@@ -269,10 +284,37 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     pad_samples = jnp.broadcast_to(block_valid[:, None],
                                    (block_budget, block)).reshape(-1)
     ray_ids = jnp.where(pad_samples, ray_ids, num_rays)
-    return MarchResults(positions=out_pos.reshape(-1, 3), directions=out_dirs,
-                        ts=out_ts.reshape(-1), deltas=out_dt, ray_ids=ray_ids,
+
+    extras = {}
+    if morton:
+        # Morton-ordered re-expansion for the windowed encode: sort the
+        # COMPACTED blocks by the morton key of their first sample (3-
+        # operand sorts only — payload-heavy lax.sort takes minutes to
+        # compile on this stack, see ops/xbar_gather.xbar_permute).
+        from nerficg_tpu.ops.hash_window import morton_sort_keys
+        first_pos = out_pos.reshape(block_budget, block, 3)[:, 0]
+        unit0 = (first_pos - aabb_min) / (aabb_max - aabb_min)
+        key = morton_sort_keys(jnp.clip(unit0, 0.0, 1.0 - 1e-6))
+        key = jnp.where(block_valid, key, jnp.int32(1 << 30))
+        rank = jnp.arange(block_budget, dtype=jnp.int32)
+        _, blk_m, rank_m = jax.lax.sort(
+            (key, safe_block.astype(jnp.int32), rank), num_keys=1)
+        valid_m_blocks = jax.lax.sort(
+            (key, block_valid.astype(jnp.int32)), num_keys=1)[1] > 0
+        _, perm_to_ray = jax.lax.sort((rank_m, rank), num_keys=1)
+        pos_m, dirs_m, _, _, ray_of_block_m, _ = _expand(
+            blk_m, valid_m_blocks)
+        ray_ids_m = jnp.broadcast_to(
+            ray_of_block_m[:, None], (block_budget, block)).reshape(-1)
+        extras = dict(positions_m=pos_m, directions_m=dirs_m,
+                      ray_ids_m=ray_ids_m, perm_to_ray=perm_to_ray,
+                      perm_to_morton=rank_m)
+
+    return MarchResults(positions=out_pos, directions=out_dirs,
+                        ts=out_ts, deltas=out_dt, ray_ids=ray_ids,
                         valid=valid, num_valid=num_valid,
-                        ray_complete=ray_complete, num_blocks=num_blocks)
+                        ray_complete=ray_complete, num_blocks=num_blocks,
+                        **extras)
 
 
 def _ray_aabb(origins, directions, aabb_min, aabb_max, min_near):

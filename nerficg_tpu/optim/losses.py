@@ -21,7 +21,8 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 
 __all__ = ['LossTerm', 'LossContainer', 'mse', 'l1', 'charbonnier', 'dssim',
-           'background_entropy', 'depth_smoothness', 'magnitude', 'robust_loss']
+           'background_entropy', 'depth_smoothness', 'magnitude',
+           'robust_loss', 'vgg_perceptual']
 
 
 # -- loss functions --------------------------------------------------------------
@@ -90,6 +91,38 @@ def robust_loss(x: jnp.ndarray, alpha: float = 1.0, scale: float = 1.0) -> jnp.n
         return jnp.mean(1.0 - jnp.exp(-0.5 * sq))
     beta = abs(alpha - 2.0)
     return jnp.mean((beta / alpha) * ((sq / beta + 1.0) ** (alpha / 2.0) - 1.0))
+
+
+def vgg_perceptual(pred: jnp.ndarray, target: jnp.ndarray,
+                   params: dict | None = None) -> jnp.ndarray:
+    """VGG perceptual loss: mean L1 over feature-block activations
+    (reference: src/Optim/Losses/VGG.py:22 — Johnson et al. feature loss).
+
+    pred/target: (H, W, 3) or (N, H, W, 3) RGB in [0, 1].
+    Reuses the on-device VGG16 trunk of optim/lpips_jax.py (the reference
+    uses torchvision VGG19; same 5-block protocol, L1 over activations).
+    ``params`` defaults to the LPIPS weight file — call
+    ``optim.lpips_jax.load_weights`` / set NERFICG_LPIPS_WEIGHTS. Raises a
+    clear error when no weights exist instead of silently returning noise
+    (this environment cannot download pretrained weights; see
+    lpips_jax.save_weights_npz for the one-time conversion)."""
+    from nerficg_tpu.optim.lpips_jax import _vgg_features, load_weights
+    if params is None:
+        params = load_weights()
+    if params is None:
+        raise RuntimeError(
+            'vgg_perceptual needs VGG16 weights: set NERFICG_LPIPS_WEIGHTS '
+            'to a weights npz (optim/lpips_jax.py save_weights_npz)')
+    if pred.ndim == 3:
+        pred, target = pred[None], target[None]
+    # The trunk normalizes internally from [-1, 1] input (LPIPS scaling
+    # layer — equivalent role to the reference's ImageNet mean/std).
+    fa = _vgg_features(params, pred * 2.0 - 1.0)
+    fb = _vgg_features(params, target * 2.0 - 1.0)
+    total = jnp.zeros(())
+    for a, b in zip(fa, fb):
+        total = total + jnp.mean(jnp.abs(a - b))
+    return total
 
 
 # -- container ---------------------------------------------------------------------

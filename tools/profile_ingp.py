@@ -21,22 +21,23 @@ jax.config.update('jax_compilation_cache_dir', str(Path.home() / '.jax_cache'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
 
 
-def timed(fn, args, iters=30, label=''):
-    """Chained timing: fn must return arrays; we fold a scalar of the output
-    back into the first arg to serialize the chain."""
-    out = fn(*args)
-    jax.block_until_ready(out)
-    leaves = jax.tree_util.tree_leaves(out)
-    chain = jnp.zeros(())
+def timed(work, args, iters=30, label=''):
+    """Chained dispatches with the chain INSIDE jit (eager tiny ops cost a
+    ~27 ms synchronous round trip each through the axon tunnel)."""
+    @jax.jit
+    def step(c, *a):
+        out = work(*a)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return c + leaf.ravel()[0].astype(jnp.float32) * 1e-20
 
+    c = jnp.zeros(())
+    c = step(c, *args)
+    jax.block_until_ready(c)
     start = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        leaves = jax.tree_util.tree_leaves(out)
-        chain = chain + jnp.sum(leaves[0].ravel()[:1])
-    float(chain)
-    total = time.perf_counter() - start
-    per = (total - 0.027) / iters * 1000.0
+        c = step(c, *args)
+    float(c)
+    per = (time.perf_counter() - start - 0.027) / iters * 1000.0
     print(f'{label:42s} {per:8.3f} ms')
     return per
 

@@ -86,46 +86,39 @@ def main():
                                (pos_bp.shape[0], cfg.output_dim))
         seed = jnp.asarray([[123]], jnp.int32)
 
-        baseline = [0.0]
+        def timed(work, args, label, iters=30):
+            """The dispatch chain lives INSIDE jit: each call folds a scalar
+            of its output into a carried scalar, so iterations serialize
+            device-side with zero eager ops (eager tiny ops cost a ~27 ms
+            synchronous round trip each through this tunnel)."""
+            @jax.jit
+            def step(c, *a):
+                out = work(*a)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return c + leaf.ravel()[0].astype(jnp.float32) * 1e-20
 
-        def timed(fn, args, label, iters=30, is_baseline=False):
-            """Chained dispatches: fold a scalar of the output into the
-            first (array) argument so the queue stays serialized; one host
-            fetch at the end (PERF_NOTES.md methodology). The per-iteration
-            eager chaining ops cost a few dispatches — measured once via a
-            no-op baseline and subtracted."""
-            out = fn(*args)
-            jax.block_until_ready(out)
-            first = args[0]
+            c = jnp.zeros(())
+            c = step(c, *args)
+            jax.block_until_ready(c)
             t0 = time.perf_counter()
             for _ in range(iters):
-                out = fn(first, *args[1:])
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                first = first + (leaf.ravel()[0] * 0).astype(first.dtype)
-            jax.block_until_ready(first)
-            dt = (time.perf_counter() - t0) / iters * 1000
-            if is_baseline:
-                baseline[0] = dt
-                return
-            print(f'  {label:34s} {dt - baseline[0]:7.3f} ms')
+                c = step(c, *args)
+            float(c)
+            dt = (time.perf_counter() - t0 - 0.027) / iters * 1000
+            print(f'  {label:34s} {dt:7.3f} ms')
 
-        noop = jax.jit(lambda x: x * 1.0000001)
-        timed(noop, (jnp.zeros((1024,)),), 'baseline', is_baseline=True)
-
-        wfn = jax.jit(lambda p: hw.window_bases(p, cfg))
-        timed(wfn, (pos_bp,), 'window_bases (262k)')
-        f2 = jax.jit(lambda t, p: hw._fwd_pallas(t, p, cfg, seed, 2,
-                                                 lo_b, win_b))
-        timed(f2, (table, pos_bp), f'2^{log2ts} fwd stoch-2 (262k)')
-        fe = jax.jit(lambda t, p: hw._fwd_pallas(t, p, cfg, None, 0,
-                                                 lo_b, win_b))
-        timed(fe, (table, pos_bp), f'2^{log2ts} fwd exact-8 (262k)')
-        b2 = jax.jit(lambda gg, p: hw._bwd_pallas(table.shape, p, gg, cfg,
-                                                  seed, 2, lo_b, win_b))
-        timed(b2, (gb, pos_bp), f'2^{log2ts} bwd stoch-2 (262k)')
-        be = jax.jit(lambda gg, p: hw._bwd_pallas(table.shape, p, gg, cfg,
-                                                  None, 0, lo_b, win_b))
-        timed(be, (gb, pos_bp), f'2^{log2ts} bwd exact-8 (262k)')
+        timed(lambda p: hw.window_bases(p, cfg), (pos_bp,),
+              'window_bases (262k)')
+        timed(lambda t, p: hw._fwd_pallas(t, p, cfg, seed, 2, lo_b, win_b),
+              (table, pos_bp), f'2^{log2ts} fwd stoch-2 (262k)')
+        timed(lambda t, p: hw._fwd_pallas(t, p, cfg, None, 0, lo_b, win_b),
+              (table, pos_bp), f'2^{log2ts} fwd exact-8 (262k)')
+        timed(lambda gg, p: hw._bwd_pallas(table.shape, p, gg, cfg, seed, 2,
+                                           lo_b, win_b),
+              (gb, pos_bp), f'2^{log2ts} bwd stoch-2 (262k)')
+        timed(lambda gg, p: hw._bwd_pallas(table.shape, p, gg, cfg, None, 0,
+                                           lo_b, win_b),
+              (gb, pos_bp), f'2^{log2ts} bwd exact-8 (262k)')
         # the sorts the integration needs: block-granular payload sorts
         bb = 32768
         bkey = jax.random.randint(jax.random.PRNGKey(9), (bb,), 0, 1 << 30)
@@ -134,11 +127,9 @@ def main():
 
         def sortn(k, p):
             ops = jax.lax.sort((k,) + tuple(p), num_keys=1)
-            return ops[0], jnp.stack(ops[1:])
-        s12 = jax.jit(sortn)
-        timed(s12, (bkey, pay12), 'lax.sort 32k key+12 payloads')
-        s33 = jax.jit(sortn)
-        timed(s33, (bkey, pay33), 'lax.sort 32k key+33 payloads')
+            return jnp.stack(ops[1:])
+        timed(sortn, (bkey, pay12), 'lax.sort 32k key+12 payloads')
+        timed(sortn, (bkey, pay33), 'lax.sort 32k key+33 payloads')
 
 
 if __name__ == '__main__':
