@@ -47,6 +47,9 @@ __all__ = ['InstantNGPRenderer']
     RAY_BATCH_SIZE=8192,
     OCCUPANCY_DECAY=0.95,
     OCCUPANCY_SAMPLES=262144,   # cells refreshed per update
+    OCCUPANCY_OCCUPIED_BIAS=0.5,  # fraction of refreshes targeting occupied
+                                  # regions (reference: Renderer.py:252-258
+                                  # samples uniform + occupied cells)
     EXPONENTIAL_STEPS=None,     # None = auto (on for multi-cascade scenes);
                                 # reference: Renderer.py:141-152
     CARVE_OCCUPANCY=True,       # frustum-carve the grid from training views
@@ -201,7 +204,9 @@ class InstantNGPRenderer(BaseRenderer):
             int(self.model.GRID_RESOLUTION), rng,
             num_samples=int(self.OCCUPANCY_SAMPLES),
             decay=float(self.OCCUPANCY_DECAY), warmup=warmup,
-            position_fn=position_fn, carve_mask=carve_mask)
+            position_fn=position_fn, carve_mask=carve_mask,
+            occupied_bias=float(self.OCCUPANCY_OCCUPIED_BIAS),
+            occupied_threshold=self.density_threshold)
 
     # -- public API ------------------------------------------------------------------
     def grid_binary(self) -> jnp.ndarray:

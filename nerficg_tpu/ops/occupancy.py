@@ -219,10 +219,12 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     ray_table = jnp.pad(ray_table, ((0, 0), (0, rows * 128 - num_rays)))
     ray_table = ray_table.reshape(1, 8, rows, 128)
 
-    def _expand(safe_blk, blk_valid):
+    def _expand(safe_blk, blk_valid, probe=True):
         """Blocks -> samples: positions/ts/deltas/dirs/validity. Pure
         arithmetic + one small per-ray gather, so it can run twice (once
-        ray-ordered for compositing, once morton-ordered for the encode)."""
+        ray-ordered for compositing, once morton-ordered for the encode —
+        the latter with ``probe=False``: per-sample validity is only
+        consumed in ray order, so the second occupancy probe is skipped)."""
         ray_of_block = safe_blk // blocks_per_ray              # (Bb,)
         block_in_ray = safe_blk - ray_of_block * blocks_per_ray
         fetched = mxu_gather(ray_of_block[None], ray_table,
@@ -245,18 +247,23 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
             out_dt = jnp.broadcast_to(b_rate[:, None], out_ts.shape)
         out_pos = b_origins[:, None, :] + \
             b_dirs[:, None, :] * out_ts[..., None]
-        # Per-sample validity: recheck occupancy at the expanded samples
-        # (cheap second probe) so partially-filled blocks are masked.
-        unit_s = (out_pos - aabb_min) / (aabb_max - aabb_min)
-        in_box_s = jnp.all((unit_s >= 0.0) & (unit_s < 1.0), axis=-1)
-        if probe_fn is not None:
-            occ_s = probe_fn(out_pos)
-        elif grid_binary.ndim == 2:
-            from nerficg_tpu.ops.xbar_gather import occupancy_probe
-            occ_s = occupancy_probe(grid_binary, unit_s, grid_resolution)
+        if probe:
+            # Per-sample validity: recheck occupancy at the expanded samples
+            # (cheap second probe) so partially-filled blocks are masked.
+            unit_s = (out_pos - aabb_min) / (aabb_max - aabb_min)
+            in_box_s = jnp.all((unit_s >= 0.0) & (unit_s < 1.0), axis=-1)
+            if probe_fn is not None:
+                occ_s = probe_fn(out_pos)
+            elif grid_binary.ndim == 2:
+                from nerficg_tpu.ops.xbar_gather import occupancy_probe
+                occ_s = occupancy_probe(grid_binary, unit_s, grid_resolution)
+            else:
+                occ_s = occupancy_lookup(grid_binary, unit_s,
+                                         grid_resolution)
+            valid_s = occ_s & in_box_s & blk_valid[:, None]    # (Bb, block)
         else:
-            occ_s = occupancy_lookup(grid_binary, unit_s, grid_resolution)
-        valid_s = occ_s & in_box_s & blk_valid[:, None]        # (Bb, block)
+            valid_s = jnp.broadcast_to(blk_valid[:, None],
+                                       (safe_blk.shape[0], block))
         out_dirs = jnp.broadcast_to(b_dirs[:, None, :],
                                     out_pos.shape).reshape(-1, 3)
         return (out_pos.reshape(-1, 3), out_dirs, out_ts.reshape(-1),
@@ -303,7 +310,7 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
             (key, block_valid.astype(jnp.int32)), num_keys=1)[1] > 0
         _, perm_to_ray = jax.lax.sort((rank_m, rank), num_keys=1)
         pos_m, dirs_m, _, _, ray_of_block_m, _ = _expand(
-            blk_m, valid_m_blocks)
+            blk_m, valid_m_blocks, probe=False)
         ray_ids_m = jnp.broadcast_to(
             ray_of_block_m[:, None], (block_budget, block)).reshape(-1)
         extras = dict(positions_m=pos_m, directions_m=dirs_m,
@@ -398,27 +405,50 @@ def update_density_grid(density_grid: jnp.ndarray,
                         num_samples: int, decay: float = 0.95,
                         warmup: bool = False,
                         position_fn: Optional[Callable] = None,
-                        carve_mask: Optional[jnp.ndarray] = None
+                        carve_mask: Optional[jnp.ndarray] = None,
+                        occupied_bias: float = 0.5,
+                        occupied_threshold: float = 0.0
                         ) -> jnp.ndarray:
     """EMA-decay max-update of the density grid (replaces the morton-sampled
     CUDA update, reference: InstantNGP/Renderer.py:245-272).
 
     density_grid: (res^3,) float. query_fn: positions (M,3)->(M,) densities.
-    During warmup all cells are refreshed; afterwards a random subset
-    (uniform cells + currently-occupied-biased cells) is updated.
+    During warmup all cells are refreshed; afterwards a rotating slab is
+    updated, with its start biased toward currently-occupied regions
+    ``occupied_bias`` of the time (see below).
     """
     total = density_grid.shape[0]      # res^3, or cascades * res^3
-    k_cells, k_jitter = jax.random.split(rng)
+    k_cells, k_jitter, k_stream, k_bin = jax.random.split(rng, 4)
     if warmup:
         num_samples = total
     num_samples = min(num_samples, total)
     # Rotating contiguous slab refresh with a random circular start: XLA's
     # scatter-max over random cells is serial on TPU (~100ns/row), while a
-    # roll + dense slice update is a pure copy. Every cell is refreshed with
-    # equal probability; the divergence from the reference's
-    # uniform+occupied-biased sampling (Renderer.py:252-258) is only in the
-    # correlation structure of which cells refresh together.
-    start = jax.random.randint(k_cells, (), 0, total, jnp.int32)
+    # roll + dense slice update is a pure copy. The reference additionally
+    # samples currently-OCCUPIED cells each update (Renderer.py:252-258) so
+    # stale geometry re-validates faster; scattering to random occupied
+    # cells is off the table here, so the equivalent pressure comes from
+    # biasing the slab START: ``occupied_bias`` of the updates draw the
+    # start from a categorical over slab-aligned bins weighted by their
+    # occupied-cell count (dense reduction, no scatter). Occupied regions
+    # then refresh ~1/(1-bias) times faster than under uniform starts.
+    start_u = jax.random.randint(k_cells, (), 0, total, jnp.int32)
+    if occupied_bias > 0.0 and not warmup:
+        bins = 256
+        bin_size = -(-total // bins)
+        padded = jnp.pad(density_grid, (0, bins * bin_size - total))
+        occ_per_bin = jnp.sum(
+            (padded > occupied_threshold).reshape(bins, bin_size), axis=1)
+        logits = jnp.log(occ_per_bin.astype(jnp.float32) + 1e-3)
+        chosen = jax.random.categorical(k_bin, logits)
+        # a random offset within +-half a slab keeps bin edges covered
+        jitter_c = jax.random.randint(k_bin, (), -(num_samples // 2),
+                                      num_samples // 2 + 1, jnp.int32)
+        start_b = (chosen.astype(jnp.int32) * bin_size + jitter_c) % total
+        use_biased = jax.random.uniform(k_stream) < occupied_bias
+        start = jnp.where(use_biased, start_b, start_u)
+    else:
+        start = start_u
     cells = (start + jnp.arange(num_samples, dtype=jnp.int32)) % total
 
     # Cell centers with intra-cell jitter.

@@ -241,6 +241,37 @@ class TestDensityGridUpdate:
                                   res, rng, num_samples=8, decay=0.9)
         assert float(new.max()) <= 0.9 + 1e-6
 
+    def test_occupied_bias_refreshes_occupied_cells_faster(self, rng):
+        """The reference refreshes uniform + OCCUPIED cells each update
+        (InstantNGP/Renderer.py:252-258); here the slab start is biased
+        toward occupied bins. Occupied-region cells must be re-queried
+        measurably more often than empty-region cells."""
+        import jax
+
+        res = 16
+        total = res ** 3
+        # occupied region = first 5% of the flat grid
+        occ_n = total // 20
+        grid = jnp.zeros((total,)).at[:occ_n].set(5.0)
+
+        def query(positions):
+            # large density so touched cells are identifiable via max-update
+            return jnp.full(positions.shape[0], 100.0)
+
+        counts = jnp.zeros((total,))
+        key = rng
+        for i in range(60):
+            key, k = jax.random.split(key)
+            new = update_density_grid(grid, query, jnp.zeros(3),
+                                      jnp.ones(3), res, k,
+                                      num_samples=total // 16,
+                                      decay=1.0, occupied_bias=0.5,
+                                      occupied_threshold=1.0)
+            counts = counts + (new > 50.0)
+        occ_rate = float(counts[:occ_n].mean())
+        emp_rate = float(counts[occ_n:].mean())
+        assert occ_rate > 1.5 * emp_rate, (occ_rate, emp_rate)
+
 
 class TestInstantNGPEndToEnd:
     @pytest.fixture(scope='class')

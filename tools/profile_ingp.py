@@ -128,6 +128,87 @@ def main():
         print(f'{"full train step (8192 rays/262k samples)":42s} '
               f'{total / iters * 1000.0:8.3f} ms')
 
+    if which in ('all', 'parts'):
+        # stage-by-stage of the WINDOWED train step at the operating point
+        def march_only(o, d, r):
+            return march_rays(
+                o, d, model.aabb_min, model.aabb_max, grid,
+                renderer._march_res, max_steps=512, sample_budget=262144,
+                rng=r, block=8, exponential=False).positions
+
+        timed(march_only, (origins, directions, jax.random.PRNGKey(1)),
+              label='march (ray order only)')
+
+        def march_m(o, d, r):
+            return march_rays(
+                o, d, model.aabb_min, model.aabb_max, grid,
+                renderer._march_res, max_steps=512, sample_budget=262144,
+                rng=r, block=8, exponential=False, morton=True).positions_m
+
+        timed(march_m, (origins, directions, jax.random.PRNGKey(1)),
+              label='march (+morton view)')
+
+        def render_fwd(p, o, d, r):
+            out = renderer._render_rays_impl(
+                p, grid, o, d, r, jnp.zeros(3), randomized=True,
+                num_rays=n_rays, samples_per_ray=32)
+            return out['rgb']
+
+        timed(render_fwd, (model.params, origins, directions,
+                           jax.random.PRNGKey(1)),
+              label='render fwd (march+field+composite)')
+
+        def render_grad(p, o, d, r):
+            def loss(pp):
+                out = renderer._render_rays_impl(
+                    pp, grid, o, d, r, jnp.zeros(3), randomized=True,
+                    num_rays=n_rays, samples_per_ray=32)
+                return jnp.sum(out['rgb'] ** 2)
+            return jax.grad(loss)(p)['hash_table']
+
+        timed(render_grad, (model.params, origins, directions,
+                            jax.random.PRNGKey(1)),
+              label='render fwd+bwd (no adam)')
+
+        from nerficg_tpu.ops.sample_sort import permute_block_channels
+        ch = jax.random.normal(jax.random.PRNGKey(3), (4, 262144))
+        perm = jax.random.permutation(jax.random.PRNGKey(4), 32768)
+        inv = jnp.argsort(perm)
+
+        def perm_fn(c):
+            return permute_block_channels(c, 8, perm, inv)
+
+        timed(perm_fn, (ch,), label='permute 4ch')
+
+        # march internals: candidate mask stage vs compaction vs expansion
+        from nerficg_tpu.ops.occupancy import _ray_aabb
+        from nerficg_tpu.ops.xbar_gather import occupancy_probe
+
+        def mask_stage(o, d, r):
+            t_near, t_far = _ray_aabb(o, d, model.aabb_min, model.aabb_max,
+                                      0.05)
+            rate = (t_far - t_near) / 512
+            step_idx = jnp.arange(512, dtype=jnp.float32)
+            ts = t_near[:, None] + (step_idx[None, :] + 0.5) * rate[:, None]
+            pos = o[:, None, :] + d[:, None, :] * ts[..., None]
+            unit = (pos - model.aabb_min) / (model.aabb_max - model.aabb_min)
+            in_box = jnp.all((unit >= 0.0) & (unit < 1.0), axis=-1)
+            occ = occupancy_probe(grid, unit, renderer._march_res)
+            m = occ & in_box
+            return m.reshape(n_rays, 64, 8).any(axis=2)
+
+        timed(mask_stage, (origins, directions, jax.random.PRNGKey(1)),
+              label='march: candidate mask (4.2M probes)')
+
+        flags = mask_stage(origins, directions, jax.random.PRNGKey(1))
+
+        def nonzero_stage(f):
+            (sel,) = jnp.nonzero(f.reshape(-1), size=32768,
+                                 fill_value=f.size)
+            return sel
+
+        timed(nonzero_stage, (flags,), label='march: nonzero compaction')
+
     if which in ('all', 'march'):
         march_j = jax.jit(lambda o, d, r: march_rays(
             o, d, model.aabb_min, model.aabb_max, grid,
