@@ -27,6 +27,61 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 1.0e7
+BASELINE_GS_FPS = 60.0
+
+
+def measure_gs_fps() -> float:
+    """3DGS inference FPS at 1080p / 100k Gaussians through the real
+    ``render_image`` path (driver-captured counterpart of the builder-side
+    PERF_NOTES numbers; reference protocol:
+    /root/reference/scripts/inference.py:62-97 online FPS benchmark)."""
+    from nerficg_tpu.core.config import ConfigNode
+    from nerficg_tpu.core.registry import Methods
+    from nerficg_tpu.data.types import BasicPointCloud
+
+    cfg = ConfigNode({
+        'GLOBAL': {'METHOD_TYPE': 'GaussianSplatting', 'RANDOM_SEED': 0},
+        'MODEL': {}, 'RENDERER': {}, 'TRAINING': {},
+    })
+    model = Methods.get_model(cfg)
+    rng = np.random.default_rng(0)
+    pts = (rng.random((100_000, 3)).astype(np.float32) * 2.0 - 1.0)
+    cols = rng.random((100_000, 3)).astype(np.float32)
+    model.init_from_point_cloud(BasicPointCloud(pts, cols))
+    renderer = Methods.get_renderer(cfg, model)
+
+    h, w = 1080, 1920
+    intrinsics = (0.8 * w, 0.8 * w, w / 2.0, h / 2.0, w, h)
+    fn = renderer._get_render_fn(intrinsics, int(model.active_sh_degree))
+    n = model.params['positions'].shape[0]
+    offset = jnp.zeros((n, 2), jnp.float32)
+    bg = jnp.zeros(3)
+
+    def pose(angle):
+        eye = np.array([3 * np.sin(angle), 0.0, 3 * np.cos(angle)])
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = (right, down, fwd,
+                                                          eye)
+        w2c = np.linalg.inv(c2w).astype(np.float32)
+        return jnp.asarray(w2c), jnp.asarray(eye, jnp.float32)
+
+    poses = [pose(2 * np.pi * i / 8) for i in range(8)]
+    out = fn(model.params, offset, poses[0][0], poses[0][1], background=bg)
+    jax.block_until_ready(out['rgb'])
+
+    frames = 32
+    start = time.perf_counter()
+    for i in range(frames):
+        w2c, eye = poses[i % 8]
+        out = fn(model.params, offset, w2c, eye, background=bg)
+    jax.block_until_ready(out['rgb'])
+    elapsed = time.perf_counter() - start - 0.027
+    return frames / max(elapsed, 1e-6)
 
 
 def main() -> None:
@@ -106,11 +161,19 @@ def main() -> None:
     elapsed = time.perf_counter() - start
 
     rays_per_sec = rays_done / elapsed
+    try:
+        gs_fps = measure_gs_fps()
+    except Exception as exc:  # keep the headline metric robust
+        Logger.set_level('NORMAL')
+        Logger.warning(f'GS FPS benchmark failed: {exc}')
+        gs_fps = float('nan')
     print(json.dumps({
         'metric': 'instant_ngp_train_throughput',
         'value': round(rays_per_sec, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+        'gs_infer_fps_1080p_100k': round(gs_fps, 2),
+        'gs_fps_vs_baseline': round(gs_fps / BASELINE_GS_FPS, 4),
     }))
 
 

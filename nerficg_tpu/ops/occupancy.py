@@ -128,7 +128,8 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
                exponential: bool = False,
                probe_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]]
                = None,
-               morton: bool = False) -> MarchResults:
+               morton: bool = False,
+               probes_per_block: int = 3) -> MarchResults:
     """Fixed-step occupancy-skipping ray marcher (replaces CUDA N4).
 
     origins/directions: (R, 3); directions unit-norm.
@@ -168,23 +169,32 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     else:
         rate = (t_far - t_near) / max_steps                    # dt (R,)
 
-    step_idx = jnp.arange(max_steps, dtype=jnp.float32)        # (S,)
-    # Counter-based hash jitter (recomputable at compacted samples without a
-    # (R*S,) gather); seeded from the step rng.
     if rng is not None:
         seed = jax.random.bits(rng, dtype=jnp.uint32)
     else:
         seed = None
-    flat_ids = jnp.arange(num_rays * max_steps,
-                          dtype=jnp.uint32).reshape(num_rays, max_steps)
-    jitter = _hash_jitter(flat_ids, seed)
-    if exponential:
-        ts = t_near[:, None] * jnp.exp(
-            (step_idx[None, :] + jitter) * rate[:, None])      # (R, S)
-    else:
-        ts = t_near[:, None] + (step_idx[None, :] + jitter) * rate[:, None]
 
-    positions = origins[:, None, :] + directions[:, None, :] * ts[..., None]
+    # --- block-level candidate pass -----------------------------------------
+    # The skip grid is far coarser than the fine step spacing (a 64^3 cell
+    # spans ~15 of 512 steps), so probing every candidate STEP oversamples
+    # it ~5x. Candidates are therefore probed at ``probes_per_block``
+    # fractions of each block only (a cell always covers several probe
+    # points); per-SAMPLE validity is re-probed exactly during expansion, so
+    # only block selection coarsens, never sample masking.
+    blocks_per_ray = max_steps // block
+    nblocks = num_rays * blocks_per_ray
+    block_budget = sample_budget // block
+    pfrac = (jnp.arange(probes_per_block, dtype=jnp.float32) + 0.5) \
+        / probes_per_block
+    bidx = jnp.arange(blocks_per_ray, dtype=jnp.float32)
+    step_pos = (bidx[:, None] + pfrac[None, :]) * block        # (Bp, P)
+    if exponential:
+        ts_p = t_near[:, None, None] * jnp.exp(
+            step_pos[None] * rate[:, None, None])              # (R, Bp, P)
+    else:
+        ts_p = t_near[:, None, None] + step_pos[None] * rate[:, None, None]
+    positions = origins[:, None, None, :] + \
+        directions[:, None, None, :] * ts_p[..., None]
     unit = (positions - aabb_min) / (aabb_max - aabb_min)
     in_box = jnp.all((unit >= 0.0) & (unit < 1.0), axis=-1)
     if probe_fn is not None:
@@ -194,18 +204,33 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
         occupied = occupancy_probe(grid_binary, unit, grid_resolution)
     else:
         occupied = occupancy_lookup(grid_binary, unit, grid_resolution)
-    mask = occupied & in_box & hit[:, None]                    # (R, S)
+    block_any2 = (occupied & in_box).any(axis=2) & hit[:, None]  # (R, Bp)
 
-    # --- block-level static compaction (replaces the CUDA atomic counter) ---
-    blocks_per_ray = max_steps // block
-    nblocks = num_rays * blocks_per_ray
-    block_budget = sample_budget // block
-    block_mask3 = mask.reshape(num_rays, blocks_per_ray, block)
-    block_any = block_mask3.any(axis=2).reshape(-1)            # (nblocks,)
-    (block_sel,) = jnp.nonzero(block_any, size=block_budget,
-                               fill_value=nblocks)
-    block_valid = block_sel < nblocks
-    safe_block = jnp.where(block_valid, block_sel, 0)
+    # --- block compaction (replaces the CUDA atomic counter) ----------------
+    # One masked-morton sort compacts AND spatially orders the occupied
+    # blocks (jnp.nonzero over the 524k block flags measured 4.6 ms; the
+    # 2-operand sort does the same work and hands the windowed encode its
+    # morton stream for free). Ray order is recovered from the compacted
+    # 32k set with a second, much smaller sort.
+    from nerficg_tpu.ops.hash_window import morton_sort_keys
+    unit_b = (positions[:, :, 0, :] - aabb_min) / (aabb_max - aabb_min)
+    bkeys = morton_sort_keys(jnp.clip(unit_b, 0.0, 1.0 - 1e-6))  # (R, Bp)
+    inf = jnp.int32(1 << 30)
+    key_flat = jnp.where(block_any2, bkeys, inf).reshape(-1)
+    blk_iota = jnp.arange(nblocks, dtype=jnp.int32)
+    k_sorted, blk_sorted = jax.lax.sort((key_flat, blk_iota), num_keys=1)
+    take = min(block_budget, nblocks)
+    pad_b = block_budget - take
+    block_sel_m = jnp.pad(blk_sorted[:take], (0, pad_b))       # morton order
+    block_valid_m = jnp.pad(k_sorted[:take] < inf, (0, pad_b))
+    safe_block_m = jnp.where(block_valid_m, block_sel_m, 0)
+    # ray-major view (ascending block index == nonzero's output order)
+    ray_key = jnp.where(block_valid_m, block_sel_m, jnp.int32(nblocks))
+    bb_iota = jnp.arange(block_budget, dtype=jnp.int32)
+    rk_sorted, blk_ray, perm_to_ray = jax.lax.sort(
+        (ray_key, block_sel_m, bb_iota), num_keys=1)
+    block_valid = rk_sorted < nblocks
+    safe_block = jnp.where(block_valid, blk_ray, 0)
 
     # Per-ray constants fetched with the MXU factored gather (XLA row gather
     # is serial on TPU).
@@ -277,7 +302,7 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     num_valid = jnp.sum(valid)
     # Budget-overflow accounting at block granularity: a ray is complete iff
     # the running count of occupied blocks up to its end fits the budget.
-    occ_blocks_per_ray = block_mask3.any(axis=2).sum(axis=1)
+    occ_blocks_per_ray = block_any2.sum(axis=1)
     cum_blocks = jnp.cumsum(occ_blocks_per_ray)
     ray_complete = cum_blocks <= block_budget
     num_blocks = cum_blocks[-1]
@@ -294,28 +319,17 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
 
     extras = {}
     if morton:
-        # Morton-ordered re-expansion for the windowed encode: sort the
-        # COMPACTED blocks by the morton key of their first sample (3-
-        # operand sorts only — payload-heavy lax.sort takes minutes to
-        # compile on this stack, see ops/xbar_gather.xbar_permute).
-        from nerficg_tpu.ops.hash_window import morton_sort_keys
-        first_pos = out_pos.reshape(block_budget, block, 3)[:, 0]
-        unit0 = (first_pos - aabb_min) / (aabb_max - aabb_min)
-        key = morton_sort_keys(jnp.clip(unit0, 0.0, 1.0 - 1e-6))
-        key = jnp.where(block_valid, key, jnp.int32(1 << 30))
-        rank = jnp.arange(block_budget, dtype=jnp.int32)
-        _, blk_m, rank_m = jax.lax.sort(
-            (key, safe_block.astype(jnp.int32), rank), num_keys=1)
-        valid_m_blocks = jax.lax.sort(
-            (key, block_valid.astype(jnp.int32)), num_keys=1)[1] > 0
-        _, perm_to_ray = jax.lax.sort((rank_m, rank), num_keys=1)
+        # Morton-ordered re-expansion for the windowed encode: the
+        # compaction sort above already produced the morton-ordered block
+        # set and the morton->ray permutation; only its inverse is left.
+        _, perm_to_morton = jax.lax.sort((perm_to_ray, bb_iota), num_keys=1)
         pos_m, dirs_m, _, _, ray_of_block_m, _ = _expand(
-            blk_m, valid_m_blocks, probe=False)
+            safe_block_m, block_valid_m, probe=False)
         ray_ids_m = jnp.broadcast_to(
             ray_of_block_m[:, None], (block_budget, block)).reshape(-1)
         extras = dict(positions_m=pos_m, directions_m=dirs_m,
                       ray_ids_m=ray_ids_m, perm_to_ray=perm_to_ray,
-                      perm_to_morton=rank_m)
+                      perm_to_morton=perm_to_morton)
 
     return MarchResults(positions=out_pos, directions=out_dirs,
                         ts=out_ts, deltas=out_dt, ray_ids=ray_ids,
