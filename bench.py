@@ -14,6 +14,7 @@ import json
 import sys
 import time
 from pathlib import Path
+from typing import Optional
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
@@ -177,12 +178,16 @@ def main() -> None:
     }))
 
 
-def main_quality() -> None:
+def main_quality(model_overrides: Optional[dict] = None,
+                 iterations: int = 1500, image_size: int = 64) -> None:
     """--quality: end-to-end PSNR probe — procedural Blender-format scene
     (64x64, 10 views), 1500 Instant-NGP iterations through the real
     loader/trainer path, test-split PSNR as the metric. Anchors the
     throughput numbers with a trainable-quality check (no real scene data
-    ships in this environment; see VERDICT #5 / README)."""
+    ships in this environment; see VERDICT #5 / README).
+
+    ``--model KEY=VALUE`` overrides feed the MODEL section — the A/B knobs
+    for encode backend / capacity / stochastic corners."""
     import tempfile
 
     from nerficg_tpu.data.synthetic import make_synthetic_scene
@@ -194,14 +199,16 @@ def main_quality() -> None:
 
     root = Path(tempfile.mkdtemp()) / 'scene'
     root.mkdir()
-    make_synthetic_scene(root, image_size=64)
+    make_synthetic_scene(root, image_size=image_size)
+    model_cfg = {'SCALE': 1.0}
+    model_cfg.update(model_overrides or {})
     cfg = ConfigNode({
         'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'DATASET_TYPE': 'NeRF',
                    'RANDOM_SEED': 0},
         'DATASET': {'PATH': str(root)},
-        'MODEL': {'SCALE': 1.0},
+        'MODEL': model_cfg,
         'RENDERER': {'MAX_SAMPLES': 256},
-        'TRAINING': {'NUM_ITERATIONS': 1500,
+        'TRAINING': {'NUM_ITERATIONS': int(iterations),
                      'INITIAL_RAYS_PER_BATCH': 2048,
                      'TARGET_BATCH_SIZE': 65536, 'RENDER_TESTSET': False,
                      'MODEL_NAME': 'bench_quality'},
@@ -230,15 +237,30 @@ def main_quality() -> None:
         'value': round(sum(vals) / len(vals), 2),
         'unit': 'dB',
         'train_seconds': round(train_s, 1),
+        'model_overrides': model_overrides or {},
         'vs_baseline': 0.0,
     }))
 
 
 if __name__ == '__main__':
+    import ast
+
     parser = argparse.ArgumentParser()
     parser.add_argument('--quality', action='store_true')
+    parser.add_argument('--model', action='append', default=[],
+                        help='MODEL override KEY=VALUE (quality mode)')
+    parser.add_argument('--iters', type=int, default=1500)
+    parser.add_argument('--image-size', type=int, default=64)
     args = parser.parse_args()
     if args.quality:
-        main_quality()
+        overrides = {}
+        for kv in args.model:
+            key, _, val = kv.partition('=')
+            try:
+                overrides[key] = ast.literal_eval(val)
+            except (ValueError, SyntaxError):
+                overrides[key] = val
+        main_quality(overrides, iterations=args.iters,
+                     image_size=args.image_size)
     else:
         main()
