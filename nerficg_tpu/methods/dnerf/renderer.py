@@ -28,7 +28,9 @@ class DNeRFRenderer(InstantNGPRenderer):
     MODEL_CLASS = DNeRFModel
 
     def _field(self, params, positions, directions, encode_seed,
-               sample_times):
+               sample_times, anchor_keys=None):
+        # anchor_keys are dropped: the deformation moves samples off the
+        # marcher's morton stream, and the xbar backend has no windows.
         return self.model.field(params, positions, directions,
                                 encode_seed=encode_seed,
                                 timestamps=sample_times)

@@ -81,6 +81,11 @@ def _mlp(ws, x, compute_dtype=jnp.bfloat16):
     # decreasing variance, see ops/hash_xbar.py), or 0 for the exact
     # 8-corner path. Inference/eval always uses the exact path.
     STOCHASTIC_CORNERS=2,
+    # Samples per compacted march block (must match RENDERER.MARCH_BLOCK):
+    # the windowed encode takes its per-sub-block table windows over one
+    # anchor per block, which keeps windows tight on the marcher's
+    # block-sorted stream (see ops/hashgrid.HashGridConfig.anchor_stride).
+    ENCODE_ANCHOR_STRIDE=8,
     BASE_RESOLUTION=16,
     TARGET_RESOLUTION=2048,
     DENSITY_MLP_WIDTH=64,
@@ -107,7 +112,9 @@ class InstantNGPModel(BaseModel):
             features_per_level=int(self.FEATURES_PER_LEVEL),
             log2_table_size=int(self.LOG2_HASHMAP_SIZE),
             base_resolution=int(self.BASE_RESOLUTION),
-            target_resolution=int(self.TARGET_RESOLUTION))
+            target_resolution=int(self.TARGET_RESOLUTION),
+            anchor_stride=int(self.ENCODE_ANCHOR_STRIDE)
+            if str(self.ENCODING_BACKEND) == 'window' else 1)
         k_table, k_d1, k_d2, k_c1, k_c2, k_c3 = jax.random.split(rng, 6)
         hdim = self.hash_config.output_dim
         dw, geo = int(self.DENSITY_MLP_WIDTH), int(self.GEO_FEATURES)
@@ -156,7 +163,8 @@ class InstantNGPModel(BaseModel):
 
     # -- field evaluation (pure) ----------------------------------------------
     def density(self, params: dict, positions: jnp.ndarray,
-                encode_seed: Optional[jnp.ndarray] = None
+                encode_seed: Optional[jnp.ndarray] = None,
+                anchor_keys: Optional[jnp.ndarray] = None
                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """positions (N,3) world -> (density (N,), geo features (N, GEO)).
 
@@ -182,10 +190,10 @@ class InstantNGPModel(BaseModel):
             if stochastic:
                 feats = hash_encode_win_stochastic(
                     params['hash_table'], unit, encode_seed,
-                    self.hash_config, n_corners)
+                    self.hash_config, n_corners, anchor_keys)
             else:
                 feats = hash_encode_win(params['hash_table'], unit,
-                                        self.hash_config)
+                                        self.hash_config, anchor_keys)
         elif backend == 'xbar':
             if stochastic:
                 enc = hash_encode_xbar_stochastic_posgrad \
@@ -212,9 +220,11 @@ class InstantNGPModel(BaseModel):
 
     def field(self, params: dict, positions: jnp.ndarray,
               directions: jnp.ndarray,
-              encode_seed: Optional[jnp.ndarray] = None
+              encode_seed: Optional[jnp.ndarray] = None,
+              anchor_keys: Optional[jnp.ndarray] = None
               ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        sigma, geo = self.density(params, positions, encode_seed=encode_seed)
+        sigma, geo = self.density(params, positions, encode_seed=encode_seed,
+                                  anchor_keys=anchor_keys)
         rgb = self.color(params, geo, directions)
         return sigma, rgb
 

@@ -155,7 +155,8 @@ class InstantNGPRenderer(BaseRenderer):
             from nerficg_tpu.ops.sample_sort import permute_block_channels
             sigma_m, rgb_m = self._field(params, march.positions_m,
                                          march.directions_m, encode_seed,
-                                         sample_times)
+                                         sample_times,
+                                         anchor_keys=march.block_keys_m)
             ch = permute_block_channels(
                 jnp.stack([sigma_m, rgb_m[:, 0], rgb_m[:, 1], rgb_m[:, 2]]),
                 int(self.MARCH_BLOCK), march.perm_to_ray,
@@ -174,12 +175,13 @@ class InstantNGPRenderer(BaseRenderer):
         return out
 
     def _field(self, params, positions, directions, encode_seed,
-               sample_times):
+               sample_times, anchor_keys=None):
         """Field-evaluation hook; dynamic methods override to consume the
         per-sample timestamps (methods/dnerf)."""
         del sample_times
         return self.model.field(params, positions, directions,
-                                encode_seed=encode_seed)
+                                encode_seed=encode_seed,
+                                anchor_keys=anchor_keys)
 
     def _update_grid_impl(self, params: dict, density_grid: jnp.ndarray,
                           rng: jax.Array, carve_mask=None,

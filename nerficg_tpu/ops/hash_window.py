@@ -200,7 +200,9 @@ def morton_sort_keys(positions_unit: jnp.ndarray) -> jnp.ndarray:
 
 
 def window_bases(positions: jnp.ndarray, config: HashGridConfig,
-                 sub_block: int = SUB_BLOCK) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 sub_block: int = SUB_BLOCK,
+                 anchor_keys: Optional[jnp.ndarray] = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per (level, sub-block) scan windows for a morton-sorted sample batch.
 
     positions: (N, 3) unit, N a multiple of sub_block*128 (pad by edge-
@@ -223,10 +225,33 @@ def window_bases(positions: jnp.ndarray, config: HashGridConfig,
     # One morton key per sample; every hash level's brick morton is a
     # prefix of it (floor(x*2^b) == floor(x*1024) >> (10-b) exactly), so
     # per-level window stats collapse to a shift + min/max.
-    keys = morton_sort_keys(positions)
-    keys_sb = keys.reshape(nsb, sb_n)
-    kmin = keys_sb.min(axis=1)
-    kmax = keys_sb.max(axis=1)
+    if anchor_keys is not None and anchor_keys.shape[0] % nsb == 0:
+        # The caller's SORT keys (one per expansion block, monotone by
+        # construction — ops/occupancy.march_rays block_keys_m). Per-sample
+        # keys recomputed from positions are NOT monotone across octant
+        # planes (a sample 0.02 from its block anchor can flip the top
+        # morton bit), and a min/max over them is blown up ~6x by those
+        # stragglers (measured: mean window 72.8 vs 12.4 rows at the fine
+        # levels). Straggler corners wrap into the window as one extra
+        # hash collision — the failure mode the encoding tolerates by
+        # design.
+        anchors = anchor_keys.reshape(nsb, -1)
+        kmin = anchors.min(axis=1)
+        kmax = anchors.max(axis=1)
+    else:
+        keys = morton_sort_keys(positions)
+        stride = max(int(getattr(config, 'anchor_stride', 1)), 1)
+        if stride > 1 and sb_n % stride == 0:
+            # Positions-only fallback for block-expanded streams: one
+            # anchor key per block of `stride` samples (still vulnerable
+            # to octant-plane stragglers, but ~8x fewer of them).
+            anchors = keys.reshape(nsb, sb_n // stride, stride)[:, :, 0]
+            kmin = anchors.min(axis=1)
+            kmax = anchors.max(axis=1)
+        else:
+            keys_sb = keys.reshape(nsb, sb_n)
+            kmin = keys_sb.min(axis=1)
+            kmax = keys_sb.max(axis=1)
     lo_l, win_l = [], []
     for lv in range(len(lay.res)):
         rows = lay.rows[lv]
@@ -446,7 +471,13 @@ def _bwd_kernel(res_ref, dense_ref, bscale_ref, rpb_ref, lo_ref, win_ref,
     rpb = rpb_ref[lvl, 0]
     if n_corners:
         pltpu.prng_seed(seed_ref[0, 0], lvl * 65536 + tile)
-    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    # Window chunk of 64 rows: with anchor-keyed windows every level's
+    # window fits one chunk (measured max 64), and the one-hot dot's MAC
+    # volume halves vs 128-row chunks (2 features x 64 rows = 128 output
+    # rows — still a full MXU tile).
+    _CHK = 64
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (_CHK, _LANES), 0)
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
 
     for sb in range(nsb_tile):
         pos = pos_ref[:, sb * ssb:(sb + 1) * ssb, :]
@@ -456,7 +487,7 @@ def _bwd_kernel(res_ref, dense_ref, bscale_ref, rpb_ref, lo_ref, win_ref,
         win = win_ref[lvl, tile * nsb_tile + sb]
         rel = [(_wrap_rel(row - lo, win), lane) for row, lane in rl]
         n_c = len(corners)
-        nwin = (win + _LANES - 1) // _LANES
+        nwin = (win + _CHK - 1) // _CHK
 
         def inner(rel_s, lane_s, w_s):
             for c, ((r, lane), w) in enumerate(zip(rel, weights)):
@@ -467,43 +498,52 @@ def _bwd_kernel(res_ref, dense_ref, bscale_ref, rpb_ref, lo_ref, win_ref,
             def win_chunk(wi, _):
                 chunk = 8 if ssb % 8 == 0 else 1
 
-                def srow(ci, carry):
-                    d0, d1 = carry
+                def srow(ci, d):
                     base_i = ci * chunk
                     for off in range(chunk):
                         si = base_i + off
                         g0 = g_ref[0, 0, pl.ds(sb * ssb + si, 1), :]
                         g1 = g_ref[0, 1, pl.ds(sb * ssb + si, 1), :]
+                        # One fused MXU dot per sample-row: corners ride the
+                        # CONTRACTED axis (their scatters sum), features the
+                        # OUTPUT rows (2 x 64-row chunk = 128 = a full MXU
+                        # tile). bf16 operands (one-hots are exact in bf16;
+                        # gradient values lose <=0.4% relative) run the MXU
+                        # faster than the f32 path.
+                        aw0_l, aw1_l, mt_l = [], [], []
                         for c in range(n_c):
-                            rel_v = rel_s[c, pl.ds(si, 1), :] - wi * _LANES
+                            rel_v = rel_s[c, pl.ds(si, 1), :] - wi * _CHK
                             lane_v = lane_s[c, pl.ds(si, 1), :]
                             wv = w_s[c, pl.ds(si, 1), :]
                             w0, w1 = g0 * wv, g1 * wv
                             arow = (iota_sub == jax.lax.broadcast_in_dim(
-                                rel_v, (_LANES, _LANES), (0, 1))
-                            ).astype(jnp.float32)
-                            mt = (iota_sub == jax.lax.broadcast_in_dim(
-                                lane_v, (_LANES, _LANES), (0, 1))
-                            ).astype(jnp.float32)
-                            aw0 = arow * jax.lax.broadcast_in_dim(
-                                w0, (_LANES, _LANES), (0, 1))
-                            aw1 = arow * jax.lax.broadcast_in_dim(
-                                w1, (_LANES, _LANES), (0, 1))
-                            d0 = d0 + jax.lax.dot_general(
-                                aw0, mt, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-                            d1 = d1 + jax.lax.dot_general(
-                                aw1, mt, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-                    return d0, d1
+                                rel_v, (_CHK, _LANES), (0, 1))
+                            ).astype(jnp.bfloat16)
+                            mt_l.append(
+                                (iota_lane == jax.lax.broadcast_in_dim(
+                                    lane_v, (_LANES, _LANES), (0, 1))
+                                 ).astype(jnp.bfloat16))
+                            aw0_l.append(arow * jax.lax.broadcast_in_dim(
+                                w0.astype(jnp.bfloat16),
+                                (_CHK, _LANES), (0, 1)))
+                            aw1_l.append(arow * jax.lax.broadcast_in_dim(
+                                w1.astype(jnp.bfloat16),
+                                (_CHK, _LANES), (0, 1)))
+                        a_f = jnp.concatenate(
+                            [jnp.concatenate(aw0_l, axis=1),
+                             jnp.concatenate(aw1_l, axis=1)], axis=0)
+                        m_f = jnp.concatenate(mt_l, axis=1)
+                        d = d + jax.lax.dot_general(
+                            a_f, m_f, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    return d
 
-                d0, d1 = jax.lax.fori_loop(
+                d = jax.lax.fori_loop(
                     0, ssb // chunk, srow,
-                    (jnp.zeros((_LANES, _LANES), jnp.float32),
-                     jnp.zeros((_LANES, _LANES), jnp.float32)))
-                base_row = pl.multiple_of(lo + wi * _LANES, 8)
-                out_ref[0, 0, pl.ds(base_row, _LANES), :] += d0
-                out_ref[0, 1, pl.ds(base_row, _LANES), :] += d1
+                    jnp.zeros((2 * _CHK, _LANES), jnp.float32))
+                base_row = pl.multiple_of(lo + wi * _CHK, 8)
+                out_ref[0, 0, pl.ds(base_row, _CHK), :] += d[:_CHK]
+                out_ref[0, 1, pl.ds(base_row, _CHK), :] += d[_CHK:]
                 return 0
 
             jax.lax.fori_loop(0, nwin, win_chunk, 0)
@@ -632,38 +672,64 @@ def _prep(positions):
     return _pad_positions(positions, tile)
 
 
+def _prep_anchors(anchor_keys, n_raw, n_padded):
+    """Pad the per-block anchor key stream to the padded sample count
+    (edge replication, mirroring _prep). Returns None when the anchor
+    count does not evenly tile the sample count."""
+    if anchor_keys is None:
+        return None
+    nb = anchor_keys.shape[0]
+    if nb == 0 or n_raw % nb != 0:
+        return None
+    stride = n_raw // nb
+    if n_padded % stride != 0:
+        return None
+    pad = n_padded // stride - nb
+    if pad:
+        anchor_keys = jnp.concatenate(
+            [anchor_keys, jnp.broadcast_to(anchor_keys[-1:], (pad,))])
+    return anchor_keys
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def hash_encode_win(table: jnp.ndarray, positions: jnp.ndarray,
-                    config: HashGridConfig) -> jnp.ndarray:
+                    config: HashGridConfig,
+                    anchor_keys: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Exact 8-corner windowed encode of MORTON-SORTED positions.
 
     table (L, 2, R, 128) f32, positions (N, 3) in [0,1), sorted by
     ``morton_sort_keys`` (unsorted inputs are still CORRECT — windows just
-    widen to near-full scans). Gradients flow to the table only.
+    widen to near-full scans). ``anchor_keys``: optional monotone per-block
+    sort keys from the producer (ops/occupancy.march_rays block_keys_m) —
+    tightest windows. Gradients flow to the table only.
     """
-    out, _ = _hw_fwd(table, positions, config)
+    out, _ = _hw_fwd(table, positions, config, anchor_keys)
     return out
 
 
-def _hw_fwd(table, positions, config):
+def _hw_fwd(table, positions, config, anchor_keys=None):
     pos_p, n = _prep(positions)
-    lo, win = window_bases(pos_p, config)
+    ak = _prep_anchors(anchor_keys, positions.shape[0], pos_p.shape[0])
+    lo, win = window_bases(pos_p, config, anchor_keys=ak)
     if jax.default_backend() == 'tpu':
         out = _fwd_pallas(table, pos_p, config, None, 0, lo, win)
     else:
         out = _fwd_jnp(table, pos_p, config, lo, win)
-    return out[:n], (positions, lo, win, table.shape)
+    return out[:n], (positions, lo, win, table.shape,
+                     anchor_keys is not None,
+                     None if anchor_keys is None else anchor_keys.shape)
 
 
 def _hw_bwd(config, res, g):
-    positions, lo, win, table_shape = res
+    positions, lo, win, table_shape, had_ak, ak_shape = res
     pos_p, n = _prep(positions)
     g_p = jnp.pad(g, ((0, pos_p.shape[0] - n), (0, 0)))
     if jax.default_backend() == 'tpu':
         dtab = _bwd_pallas(table_shape, pos_p, g_p, config, None, 0, lo, win)
     else:
         dtab = _bwd_jnp(table_shape, pos_p, g_p, config, lo, win)
-    return dtab, jnp.zeros_like(positions)
+    ak_ct = np.zeros(ak_shape, jax.dtypes.float0) if had_ak else None
+    return dtab, jnp.zeros_like(positions), ak_ct
 
 
 hash_encode_win.defvjp(_hw_fwd, _hw_bwd)
@@ -672,26 +738,31 @@ hash_encode_win.defvjp(_hw_fwd, _hw_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def hash_encode_win_stochastic(table: jnp.ndarray, positions: jnp.ndarray,
                                seed: jnp.ndarray, config: HashGridConfig,
-                               n_corners: int = 2) -> jnp.ndarray:
+                               n_corners: int = 2,
+                               anchor_keys: Optional[jnp.ndarray] = None
+                               ) -> jnp.ndarray:
     """Stochastic-corner windowed encode (training fast path); the corner
     sampler and its variance reduction are shared with ops/hash_xbar.
     Falls back to the exact oracle off-TPU (kernel PRNG is TPU-only)."""
-    out, _ = _hws_fwd(table, positions, seed, config, n_corners)
+    out, _ = _hws_fwd(table, positions, seed, config, n_corners, anchor_keys)
     return out
 
 
-def _hws_fwd(table, positions, seed, config, n_corners=2):
+def _hws_fwd(table, positions, seed, config, n_corners=2, anchor_keys=None):
     pos_p, n = _prep(positions)
-    lo, win = window_bases(pos_p, config)
+    ak = _prep_anchors(anchor_keys, positions.shape[0], pos_p.shape[0])
+    lo, win = window_bases(pos_p, config, anchor_keys=ak)
     if jax.default_backend() == 'tpu':
         out = _fwd_pallas(table, pos_p, config, seed, n_corners, lo, win)
     else:
         out = _fwd_jnp(table, pos_p, config, lo, win)
-    return out[:n], (positions, seed, lo, win, table.shape)
+    return out[:n], (positions, seed, lo, win, table.shape,
+                     anchor_keys is not None,
+                     None if anchor_keys is None else anchor_keys.shape)
 
 
 def _hws_bwd(config, n_corners, res, g):
-    positions, seed, lo, win, table_shape = res
+    positions, seed, lo, win, table_shape, had_ak, ak_shape = res
     pos_p, n = _prep(positions)
     g_p = jnp.pad(g, ((0, pos_p.shape[0] - n), (0, 0)))
     if jax.default_backend() == 'tpu':
@@ -700,7 +771,8 @@ def _hws_bwd(config, n_corners, res, g):
     else:
         dtab = _bwd_jnp(table_shape, pos_p, g_p, config, lo, win)
     seed_ct = np.zeros(np.shape(seed), jax.dtypes.float0)
-    return dtab, jnp.zeros_like(positions), seed_ct
+    ak_ct = np.zeros(ak_shape, jax.dtypes.float0) if had_ak else None
+    return dtab, jnp.zeros_like(positions), seed_ct, ak_ct
 
 
 hash_encode_win_stochastic.defvjp(_hws_fwd, _hws_bwd)

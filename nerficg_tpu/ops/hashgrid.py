@@ -37,6 +37,16 @@ class HashGridConfig:
     log2_table_size: int = 19
     base_resolution: int = 16
     target_resolution: int = 2048
+    # Windowed-encode stream hint (ops/hash_window.py): the sample stream is
+    # block-expanded from a morton-sorted block set with this many samples
+    # per block. Window stats are then taken over one anchor per block
+    # instead of a per-sample min/max — per-sample morton keys are NOT
+    # monotone across octant boundaries (a sample 0.02 away from its block
+    # anchor can flip the top morton bit), so raw min/max windows are blown
+    # up ~6x by those stragglers; anchor windows stay tight and stragglers
+    # wrap into the window as one extra hash collision. 1 = per-sample
+    # min/max (arbitrary streams).
+    anchor_stride: int = 1
 
     @property
     def table_size(self) -> int:

@@ -52,6 +52,11 @@ class MarchResults(NamedTuple):
     ray_ids_m: Optional[jnp.ndarray] = None     # (B,)
     perm_to_ray: Optional[jnp.ndarray] = None   # (Bb,) morton slot of block i
     perm_to_morton: Optional[jnp.ndarray] = None  # (Bb,) block at morton slot
+    # Sorted block morton keys (Bb,) — monotone by construction, the anchor
+    # stream for the windowed encode's per-sub-block table windows
+    # (per-sample keys are NOT monotone across octant planes; see
+    # ops/hash_window.window_bases).
+    block_keys_m: Optional[jnp.ndarray] = None
 
 
 def _hash_jitter(flat_ids: jnp.ndarray, seed) -> jnp.ndarray:
@@ -223,7 +228,13 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     pad_b = block_budget - take
     block_sel_m = jnp.pad(blk_sorted[:take], (0, pad_b))       # morton order
     block_valid_m = jnp.pad(k_sorted[:take] < inf, (0, pad_b))
-    safe_block_m = jnp.where(block_valid_m, block_sel_m, 0)
+    # Padding blocks expand at the LAST valid block's geometry (not block 0
+    # of ray 0, which sits at an arbitrary corner of the box): the morton
+    # tail then stays spatially tight and the windowed encode's trailing
+    # sub-block windows don't blow up to cover the stray corner.
+    nvalid_b = jnp.sum(block_any2)
+    last_valid = blk_sorted[jnp.clip(nvalid_b - 1, 0, nblocks - 1)]
+    safe_block_m = jnp.where(block_valid_m, block_sel_m, last_valid)
     # ray-major view (ascending block index == nonzero's output order)
     ray_key = jnp.where(block_valid_m, block_sel_m, jnp.int32(nblocks))
     bb_iota = jnp.arange(block_budget, dtype=jnp.int32)
@@ -327,9 +338,16 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
             safe_block_m, block_valid_m, probe=False)
         ray_ids_m = jnp.broadcast_to(
             ray_of_block_m[:, None], (block_budget, block)).reshape(-1)
+        # Anchor keys for the windowed encode: clamp the invalid tail to the
+        # last valid key (matching the last_valid geometry above) so the
+        # sequence stays monotone.
+        keys_taken = jnp.pad(k_sorted[:take], (0, pad_b))
+        last_key = k_sorted[jnp.clip(nvalid_b - 1, 0, nblocks - 1)]
+        block_keys_m = jnp.where(block_valid_m, keys_taken, last_key)
         extras = dict(positions_m=pos_m, directions_m=dirs_m,
                       ray_ids_m=ray_ids_m, perm_to_ray=perm_to_ray,
-                      perm_to_morton=perm_to_morton)
+                      perm_to_morton=perm_to_morton,
+                      block_keys_m=block_keys_m)
 
     return MarchResults(positions=out_pos, directions=out_dirs,
                         ts=out_ts, deltas=out_dt, ray_ids=ray_ids,
