@@ -179,7 +179,8 @@ def main() -> None:
 
 
 def main_quality(model_overrides: Optional[dict] = None,
-                 iterations: int = 1500, image_size: int = 64) -> None:
+                 iterations: int = 1500, image_size: int = 64,
+                 dynamic: bool = False) -> None:
     """--quality: end-to-end PSNR probe — procedural Blender-format scene
     (64x64, 10 views), 1500 Instant-NGP iterations through the real
     loader/trainer path, test-split PSNR as the metric. Anchors the
@@ -190,7 +191,8 @@ def main_quality(model_overrides: Optional[dict] = None,
     for encode backend / capacity / stochastic corners."""
     import tempfile
 
-    from nerficg_tpu.data.synthetic import make_synthetic_scene
+    from nerficg_tpu.data.synthetic import (make_dynamic_scene,
+                                            make_synthetic_scene)
 
     from nerficg_tpu.core.registry import Datasets, Methods
     from nerficg_tpu.core.setup import setup
@@ -199,11 +201,16 @@ def main_quality(model_overrides: Optional[dict] = None,
 
     root = Path(tempfile.mkdtemp()) / 'scene'
     root.mkdir()
-    make_synthetic_scene(root, image_size=image_size)
+    if dynamic:
+        make_dynamic_scene(root, image_size=image_size)
+    else:
+        make_synthetic_scene(root, image_size=image_size)
     model_cfg = {'SCALE': 1.0}
     model_cfg.update(model_overrides or {})
+    method = 'DNeRF' if dynamic else 'InstantNGP'
+    dataset_type = 'DNeRF' if dynamic else 'NeRF'
     cfg = ConfigNode({
-        'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'DATASET_TYPE': 'NeRF',
+        'GLOBAL': {'METHOD_TYPE': method, 'DATASET_TYPE': dataset_type,
                    'RANDOM_SEED': 0},
         'DATASET': {'PATH': str(root)},
         'MODEL': model_cfg,
@@ -233,7 +240,8 @@ def main_quality(model_overrides: Optional[dict] = None,
         gt = gt * alpha + bg * (1 - alpha)
         vals.append(float(psnr(np.clip(np.asarray(out['rgb']), 0, 1), gt)))
     print(json.dumps({
-        'metric': 'instant_ngp_quality_probe_psnr',
+        'metric': ('dnerf_quality_probe_psnr' if dynamic
+                   else 'instant_ngp_quality_probe_psnr'),
         'value': round(sum(vals) / len(vals), 2),
         'unit': 'dB',
         'train_seconds': round(train_s, 1),
@@ -251,6 +259,9 @@ if __name__ == '__main__':
                         help='MODEL override KEY=VALUE (quality mode)')
     parser.add_argument('--iters', type=int, default=1500)
     parser.add_argument('--image-size', type=int, default=64)
+    parser.add_argument('--dynamic', action='store_true',
+                        help='quality mode: D-NeRF on the procedural '
+                             'dynamic scene instead of static InstantNGP')
     args = parser.parse_args()
     if args.quality:
         overrides = {}
@@ -261,6 +272,6 @@ if __name__ == '__main__':
             except (ValueError, SyntaxError):
                 overrides[key] = val
         main_quality(overrides, iterations=args.iters,
-                     image_size=args.image_size)
+                     image_size=args.image_size, dynamic=args.dynamic)
     else:
         main()

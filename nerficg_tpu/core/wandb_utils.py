@@ -45,6 +45,30 @@ class WandbSession:
             import wandb
             self._run.log({key: wandb.Image(image)}, step=step)
 
+    def log_point_cloud(self, key: str, points, colors=None,
+                        step: Optional[int] = None,
+                        max_points: int = 65536) -> None:
+        """3D point-cloud panel (wandb.Object3D) — used for the occupancy-
+        grid and Gaussian-primitive visualizations (reference:
+        src/Methods/InstantNGP/utils.py:20-64,
+        src/Methods/GaussianSplatting/Trainer.py:133-140)."""
+        if self._run is None:
+            return
+        import numpy as np
+        import wandb
+        pts = np.asarray(points, np.float32).reshape(-1, 3)
+        cols = None if colors is None else np.asarray(colors,
+                                                      np.float32)[:, :3]
+        if pts.shape[0] > max_points:
+            idx = np.random.default_rng(0).choice(pts.shape[0], max_points,
+                                                  replace=False)
+            pts = pts[idx]
+            cols = None if cols is None else cols[idx]
+        if cols is not None:
+            pts = np.concatenate(
+                [pts, np.clip(cols * 255.0, 0, 255)], axis=1)
+        self._run.log({key: wandb.Object3D(pts)}, step=step)
+
     def finish(self) -> None:
         if self._run is not None:
             self._run.finish()

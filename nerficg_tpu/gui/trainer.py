@@ -75,6 +75,28 @@ class GuiTrainerMixin:
                                    settings=settings)
         return View(camera=camera, c2w=pose.c2w, timestamp=pose.timestamp)
 
+    def _stream_frame(self, state, rgb) -> None:
+        """Double-buffered frame hand-off: start an async device->host copy
+        of the new frame and push the PREVIOUS frame (whose copy has been
+        overlapping with training/render work since the last call). The
+        training loop never blocks on a synchronous device_get
+        (reference equivalent: GuiTrainer.py streams via CUDA pinned-memory
+        copies; here the overlap comes from jax's async dispatch)."""
+        try:
+            rgb.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass                      # non-device arrays: push synchronously
+        prev = getattr(self, '_gui_pending_frame', None)
+        self._gui_pending_frame = rgb
+        if prev is not None:
+            state.push_frame(np.asarray(prev))
+
+    def _flush_frame(self, state) -> None:
+        prev = getattr(self, '_gui_pending_frame', None)
+        if prev is not None:
+            self._gui_pending_frame = None
+            state.push_frame(np.asarray(prev))
+
     @training_callback(priority=5, iteration_stride='GUI_RENDER_INTERVAL')
     @catch()
     def _gui_render_frame(self, dataset, iteration: int) -> None:
@@ -97,7 +119,7 @@ class GuiTrainerMixin:
         if self._gui_view is None:
             return
         out = self.renderer.render_image(self._gui_view, rng=self.next_rng())
-        state.push_frame(np.asarray(out['rgb']))
+        self._stream_frame(state, out['rgb'])
         state['training_iteration'] = iteration
         state['fps'] = self._gui_fps.tick()
 
@@ -110,6 +132,7 @@ class GuiTrainerMixin:
         if state is None:
             return
         state['is_training'] = False
+        self._flush_frame(state)
         Logger.info('training done; GUI stays interactive (ctrl-c to exit)')
         try:
             while self._gui_process.is_alive() and not state.terminate_training:
@@ -118,12 +141,13 @@ class GuiTrainerMixin:
                     self._gui_view = self._pose_to_view(pose, dataset)
                 if self._gui_view is not None:
                     out = self.renderer.render_image(self._gui_view)
-                    state.push_frame(np.asarray(out['rgb']))
+                    self._stream_frame(state, out['rgb'])
                     state['fps'] = self._gui_fps.tick()
                 else:
                     time.sleep(0.1)
         except KeyboardInterrupt:
             pass
+        self._flush_frame(state)
         self._gui_process.terminate()
 
 

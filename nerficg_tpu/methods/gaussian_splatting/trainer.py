@@ -253,7 +253,6 @@ class GaussianSplattingTrainer(BaseTrainer):
         """(reference: Trainer.py:101-123)"""
         if iteration <= int(self.DENSIFY_FROM):
             return
-        big_filter = None
         use_screen = iteration > int(self.OPACITY_RESET_INTERVAL)
         self.model.params, self.opt_state = self.model.densify_and_prune(
             self.opt_state, self._grad_accum, self._grad_count,
@@ -290,6 +289,27 @@ class GaussianSplattingTrainer(BaseTrainer):
             self.model.active_sh_degree += 1
             Logger.verbose(f'iter {iteration}: SH degree -> '
                            f'{self.model.active_sh_degree}')
+
+    @training_callback(priority=45, iteration_stride='LOG_INTERVAL',
+                       start_iteration='LOG_INTERVAL')
+    def _wandb_log_primitives(self, dataset, iteration: int) -> None:
+        """Primitive-count scalar + Gaussian-means 3D panel (reference:
+        src/Methods/GaussianSplatting/Trainer.py:133-140 logs the point
+        count; the 3D panel mirrors the InstantNGP occupancy panel)."""
+        wb = getattr(self, '_wandb', None)
+        if wb is None or not wb.active:
+            return
+        n = int(self.model.num_active)
+        wb.log({'gaussians/count': n}, step=iteration)
+        if n:
+            import numpy as np
+            SH_C0 = 0.28209479177387814
+            pts = np.asarray(self.model.params['positions'][:n])
+            cols = np.clip(np.asarray(
+                self.model.params['features_dc'][:n, 0]) * SH_C0 + 0.5,
+                0.0, 1.0)
+            wb.log_point_cloud('gaussians/means', pts, colors=cols,
+                               step=iteration)
 
     @training_callback(priority=50, iteration_stride='LOG_INTERVAL')
     def _log_progress(self, dataset, iteration: int) -> None:

@@ -233,6 +233,24 @@ class InstantNGPRenderer(BaseRenderer):
             self.model.buffers.get('carve_mask'), warmup=warmup)
 
 
+    def occupied_cell_centers(self, max_points: int = 65536):
+        """World-space centers of currently occupied occupancy cells —
+        the data behind the wandb occupancy-grid 3D panel (reference:
+        src/Methods/InstantNGP/utils.py:20-64)."""
+        import numpy as np
+
+        res = int(self.model.GRID_RESOLUTION)
+        grid = np.asarray(self.model.buffers['density_grid'])
+        occ = np.nonzero(grid > self.density_threshold)[0]
+        if occ.size > max_points:
+            occ = occ[np.random.default_rng(0).choice(occ.size, max_points,
+                                                      replace=False)]
+        cells = jnp.asarray(occ, jnp.int32)
+        centers = cascade_cell_positions(
+            cells, jnp.full((cells.shape[0], 3), 0.5), self.model.center,
+            float(self.model.SCALE), res, self._cascades)
+        return np.asarray(centers)
+
     def carve_occupancy_grid(self, views, dilate: int = 1) -> None:
         """Frustum carving: cells outside every training camera frustum are
         marked permanently empty (reference: InstantNGP/Renderer.py:207-243,

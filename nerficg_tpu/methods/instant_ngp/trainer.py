@@ -135,6 +135,12 @@ class InstantNGPTrainer(BaseTrainer):
         available = len(_jax.devices())
         return min(int(configured), available) if configured else available
 
+    def _loss_extras(self, params, rng):
+        """Method-specific auxiliary loss terms, added to the color loss
+        inside the jitted step (hook; DNeRF adds a deformation-offset
+        prior). Returns (scalar term, logs dict)."""
+        return jnp.zeros(()), {}
+
     def _get_train_step(self, num_rays: int):
         if num_rays in self._train_steps:
             return self._train_steps[num_rays]
@@ -174,13 +180,16 @@ class InstantNGPTrainer(BaseTrainer):
                 err = (out['rgb'] - target) ** 2 * mask
                 color = jnp.sum(err) / jnp.maximum(jnp.sum(mask) * 3.0, 1.0)
                 wd = renderer.model.mlp_weight_squares(p)
-                loss = color + weight_decay * wd
-                return loss, {'color': color, 'weight_decay': wd,
-                              'total': loss,
-                              'psnr': mse_to_psnr(color),
-                              'num_samples': out['num_samples'],
-                              'num_blocks': out['num_blocks'],
-                              'ray_mask_frac': jnp.mean(mask)}
+                extra, extra_logs = self._loss_extras(p, rng)
+                loss = color + weight_decay * wd + extra
+                logs = {'color': color, 'weight_decay': wd,
+                        'total': loss,
+                        'psnr': mse_to_psnr(color),
+                        'num_samples': out['num_samples'],
+                        'num_blocks': out['num_blocks'],
+                        'ray_mask_frac': jnp.mean(mask)}
+                logs.update(extra_logs)
+                return loss, logs
 
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -257,12 +266,15 @@ class InstantNGPTrainer(BaseTrainer):
                 err = (out['rgb'] - target) ** 2 * mask
                 color = jnp.sum(err) / jnp.maximum(jnp.sum(mask) * 3.0, 1.0)
                 wd = renderer.model.mlp_weight_squares(p)
-                loss = color + weight_decay * wd
-                return loss, {'color': color, 'weight_decay': wd,
-                              'total': loss, 'psnr': mse_to_psnr(color),
-                              'num_samples': out['num_samples'],
-                              'num_blocks': out['num_blocks'],
-                              'ray_mask_frac': jnp.mean(mask)}
+                extra, extra_logs = self._loss_extras(p, rng)
+                loss = color + weight_decay * wd + extra
+                logs = {'color': color, 'weight_decay': wd,
+                        'total': loss, 'psnr': mse_to_psnr(color),
+                        'num_samples': out['num_samples'],
+                        'num_blocks': out['num_blocks'],
+                        'ray_mask_frac': jnp.mean(mask)}
+                logs.update(extra_logs)
+                return loss, logs
 
             return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
@@ -392,6 +404,21 @@ class InstantNGPTrainer(BaseTrainer):
                            f'(mask {mask_frac:.3f}, '
                            f'{blocks_per_ray:.1f} blocks/ray)')
             self.rays_per_batch = bucket
+
+    @training_callback(priority=45, iteration_stride='LOG_INTERVAL',
+                       start_iteration='LOG_INTERVAL')
+    def _wandb_log_occupancy(self, dataset, iteration: int) -> None:
+        """Occupancy-grid 3D panel + occupied-cell count (reference:
+        src/Methods/InstantNGP/utils.py:20-64 logs the grid as a wandb
+        Object3D point cloud)."""
+        wb = getattr(self, '_wandb', None)
+        if wb is None or not wb.active:
+            return
+        centers = self.renderer.occupied_cell_centers()
+        wb.log({'occupancy/occupied_cells': int(centers.shape[0])},
+               step=iteration)
+        if centers.shape[0]:
+            wb.log_point_cloud('occupancy/grid', centers, step=iteration)
 
     @training_callback(priority=50, iteration_stride='LOG_INTERVAL')
     def _log_progress(self, dataset, iteration: int) -> None:

@@ -114,3 +114,53 @@ def test_dnerf_loader_and_cli_contract(dynamic_dataset):
     assert min(times) == 0.0 and max(times) == 1.0
     rays = ds.precompute_rays('train').rays
     assert rays.timestamps is not None
+
+
+def test_offset_prior_in_loss(rng):
+    """The deformation offset prior is zero at init (identity warp) and
+    positive once the warp is perturbed; it feeds the jitted loss via the
+    _loss_extras hook."""
+    trainer = _make_trainer()
+    model = trainer.model
+    term, logs = trainer._loss_extras(model.params, rng)
+    assert float(term) == 0.0
+    assert float(logs['offset_reg']) == 0.0
+    params = dict(model.params)
+    params['deform_mlp'] = list(params['deform_mlp'])
+    params['deform_mlp'][-1] = jnp.ones_like(params['deform_mlp'][-1]) * 0.05
+    term2, logs2 = trainer._loss_extras(params, rng)
+    assert float(logs2['offset_reg']) > 0.0
+    assert float(term2) == pytest.approx(
+        float(trainer.OFFSET_REG_WEIGHT) * float(logs2['offset_reg']),
+        rel=1e-6)
+
+
+def test_deform_group_has_own_lr_schedule(rng):
+    """The multi_transform optimizer drives deform_mlp with the exponential
+    DEFORM_LR schedule and everything else with the multistep base LR."""
+    trainer = _make_trainer()
+    model = trainer.model
+    opt_state = trainer.optimizer.init(model.params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, model.params)
+    updates, _ = trainer.optimizer.update(grads, opt_state, model.params)
+    # Adam normalizes the first update to ~lr in magnitude.
+    up_deform = float(jnp.abs(updates['deform_mlp'][0]).mean())
+    up_base = float(jnp.abs(updates['density_mlp'][0]).mean())
+    assert up_deform == pytest.approx(float(trainer.DEFORM_LR), rel=1e-2)
+    assert up_base == pytest.approx(float(trainer.LR), rel=1e-2)
+
+
+def test_dnerf_optimizer_state_roundtrip(rng):
+    """multi_transform state survives the trainer's flatten/unflatten resume
+    path (set_optimizer_state rebuilds from the template treedef)."""
+    trainer = _make_trainer()
+    model = trainer.model
+    opt_state = trainer.optimizer.init(model.params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, model.params)
+    _, opt_state = trainer.optimizer.update(grads, opt_state, model.params)
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    trainer.set_optimizer_state(leaves)
+    new_leaves = jax.tree_util.tree_leaves(trainer.opt_state)
+    assert len(leaves) == len(new_leaves)
+    for a, b in zip(leaves, new_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -430,3 +430,33 @@ class TestProgressiveInference:
         assert float(jnp.mean(base['alpha'])) < 0.9
         assert float(jnp.mean(refined['alpha'])) > \
             float(jnp.mean(base['alpha'])) + 0.05
+
+
+def test_occupied_cell_centers():
+    """Occupied-cell extraction behind the wandb occupancy 3D panel: every
+    returned center must itself probe as occupied in the density grid."""
+    from nerficg_tpu.core.config import ConfigNode
+    from nerficg_tpu.core.registry import Methods
+    cfg = ConfigNode({
+        'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'RANDOM_SEED': 0},
+        'MODEL': {'GRID_RESOLUTION': 16, 'LOG2_HASHMAP_SIZE': 10,
+                  'NUM_LEVELS': 4, 'SCALE': 2.0},
+        'RENDERER': {'MARCH_RESOLUTION': 16}, 'TRAINING': {},
+    })
+    trainer = Methods.get_training_instance(cfg)
+    renderer = trainer.renderer
+    model = trainer.model
+    res = int(model.GRID_RESOLUTION)
+    grid = np.zeros(model.buffers['density_grid'].shape, np.float32)
+    # occupy one known cell per cascade at (res//2, res//2, res//2)
+    local = (res // 2) * res * res + (res // 2) * res + (res // 2)
+    occupied = [local + c * res ** 3 for c in range(model.cascades)]
+    for cell in occupied:
+        grid[cell] = 10.0 * renderer.density_threshold
+    model.buffers['density_grid'] = jnp.asarray(grid)
+    centers = renderer.occupied_cell_centers()
+    assert centers.shape == (len(occupied), 3)
+    # cascade half-extents scale by 2x per cascade; the finest cascade's
+    # center cell must be near the model center
+    dists = np.linalg.norm(centers - np.asarray(model.center), axis=1)
+    assert dists.min() < float(model.SCALE) / 2 ** (model.cascades - 1)

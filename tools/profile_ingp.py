@@ -116,7 +116,10 @@ def main():
             p, o, logs = step(params, opt_state, grid, trainer._pool, ids,
                               jax.random.PRNGKey(1), bg)
             return p, o
-        p, o = full_step(model.params, opt_state)
+        # the step donates its params/opt_state buffers; keep the model's
+        # own params alive for the later profile sections
+        p0 = jax.tree_util.tree_map(jnp.copy, model.params)
+        p, o = full_step(p0, opt_state)
         jax.block_until_ready(p)
         # chained: reuse output params as next input
         start = time.perf_counter()
