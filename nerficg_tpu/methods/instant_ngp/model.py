@@ -62,6 +62,19 @@ def _mlp(ws, x, compute_dtype=jnp.bfloat16):
     return x
 
 
+def _mlp_featT(ws, x_t, compute_dtype=jnp.bfloat16):
+    """ReLU MLP whose input arrives FEATURE-MAJOR (F, N) — the windowed hash
+    encode's natural layout. The first matmul contracts the leading axis via
+    dot_general, so XLA folds the layout into the MXU feed instead of paying
+    a 33 MB transpose on the activations (and on their cotangent)."""
+    x = jax.lax.dot_general(
+        x_t.astype(compute_dtype), ws[0].astype(compute_dtype),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if len(ws) > 1:
+        x = jax.nn.relu(x)
+    return _mlp(ws[1:], x, compute_dtype) if len(ws) > 1 else x
+
+
 @Configurable.configure(
     NUM_LEVELS=16,
     FEATURES_PER_LEVEL=2,
@@ -188,12 +201,15 @@ class InstantNGPModel(BaseModel):
             from nerficg_tpu.ops.hash_window import (
                 hash_encode_win, hash_encode_win_stochastic)
             if stochastic:
-                feats = hash_encode_win_stochastic(
+                feats_t = hash_encode_win_stochastic(
                     params['hash_table'], unit, encode_seed,
                     self.hash_config, n_corners, anchor_keys)
             else:
-                feats = hash_encode_win(params['hash_table'], unit,
-                                        self.hash_config, anchor_keys)
+                feats_t = hash_encode_win(params['hash_table'], unit,
+                                          self.hash_config, anchor_keys)
+            h = _mlp_featT(params['density_mlp'], feats_t)
+            sigma = trunc_exp(h[..., 0])
+            return sigma, h[..., 1:]
         elif backend == 'xbar':
             if stochastic:
                 enc = hash_encode_xbar_stochastic_posgrad \

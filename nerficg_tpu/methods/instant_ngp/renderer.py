@@ -137,16 +137,16 @@ class InstantNGPRenderer(BaseRenderer):
         field_ids = march.ray_ids_m if use_window else march.ray_ids
         sample_times = None
         if timestamps is not None:
-            # Per-sample timestamps: fetch the owning ray's time with the MXU
-            # factored gather (XLA row gather is serial on TPU).
-            from nerficg_tpu.ops.hash_mxu import mxu_gather
-            rows = -(-n // 128)
-            t_table = jnp.pad(timestamps.reshape(-1),
-                              (0, rows * 128 - n + 128))[None, None]
-            t_table = t_table.reshape(1, 1, -1, 128)
-            safe_ids = jnp.minimum(field_ids, rows * 128 - 1)
-            sample_times = mxu_gather(safe_ids[None], t_table,
-                                      compute_dtype=jnp.float32)[0, 0]
+            # Per-sample timestamps: ids are block-constant, so gather the
+            # owning ray's time once per block and broadcast (a sample-level
+            # XLA gather measures 1.9 ms here; block-level + broadcast
+            # 0.19 ms; the MXU factored gather 0.34 ms).
+            block = int(self.MARCH_BLOCK)
+            t_flat = jnp.pad(timestamps.reshape(-1), (0, 1))   # drop slot
+            block_ids = jnp.minimum(field_ids.reshape(-1, block)[:, 0], n)
+            sample_times = jnp.broadcast_to(
+                t_flat[block_ids][:, None],
+                (block_ids.shape[0], block)).reshape(-1)
         if use_window:
             # Gen-3 path: the marcher emitted a morton-ordered view of the
             # compacted blocks, so the windowed encode's per-sub-block table

@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -332,7 +332,7 @@ def _pad_positions(positions, tile_n):
 
 def _fwd_jnp(table, positions, config, lo, win, sub_block=SUB_BLOCK):
     """Oracle forward. table (L, 2, R, 128) f32; positions padded to the
-    sub-block multiple; returns (N_padded, L*2)."""
+    sub-block multiple; returns feature-major (L*2, N_padded)."""
     levels = table.shape[0]
     n = positions.shape[0]
     rows, lanes, w = _corner_rows_lanes_jnp(positions, config)
@@ -342,8 +342,8 @@ def _fwd_jnp(table, positions, config, lo, win, sub_block=SUB_BLOCK):
     flat = flat.astype(jnp.bfloat16).astype(jnp.float32)     # kernel reads bf16
     gathered = jax.vmap(lambda tab, ind: tab[:, ind.reshape(-1)])(flat, idx)
     g4 = gathered.reshape(levels, 2, n, 8)
-    out = jnp.einsum('lfnc,lnc->nlf', g4, w)
-    return out.reshape(n, levels * 2)
+    out = jnp.einsum('lfnc,lnc->lfn', g4, w)
+    return out.reshape(levels * 2, n)
 
 
 def _bwd_jnp(table_shape, positions, g, config, lo, win,
@@ -353,8 +353,8 @@ def _bwd_jnp(table_shape, positions, g, config, lo, win,
     rows, lanes, w = _corner_rows_lanes_jnp(positions, config)
     rows = _apply_window_jnp(rows, lo, win, sub_block)
     idx = rows * _LANES + lanes
-    g3 = g.reshape(n, levels, 2)
-    gl = jnp.einsum('nlf,lnc->lfnc', g3, w).reshape(levels, 2, n * 8)
+    g3 = g.reshape(levels, 2, n)
+    gl = jnp.einsum('lfn,lnc->lfnc', g3, w).reshape(levels, 2, n * 8)
 
     def per_level(ind, grad):
         flat_ind = ind.reshape(-1)
@@ -610,7 +610,11 @@ def _fwd_pallas(table, positions, config, seed, n_corners, lo, win):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
     )(res, dense, bscale, rpb, lo, win, _seed_arr(seed), pt, packed)
-    return out.reshape(levels * 2, n).T
+    # Feature-major (L*2, N): the kernel's natural output layout. The
+    # sample-major view would relayout 33 MB here and again for the
+    # backward's cotangent (2 x ~0.4 ms measured); instead the consumer
+    # contracts the leading feature axis directly (model._mlp_featT).
+    return out.reshape(levels * 2, n)
 
 
 def _bwd_pallas(table_shape, positions, g, config, seed, n_corners, lo, win):
@@ -622,7 +626,7 @@ def _bwd_pallas(table_shape, positions, g, config, seed, n_corners, lo, win):
     n_tiles = n // tile_n
     nsb_tile = s_tiles // SUB_BLOCK
     pt = positions.T.reshape(3, n // _LANES, _LANES)
-    gt = g.T.reshape(levels, 2, n // _LANES, _LANES)
+    gt = g.reshape(levels, 2, n // _LANES, _LANES)   # feature-major: no .T
     kernel = functools.partial(_bwd_kernel, n_corners=n_corners,
                                ssb=SUB_BLOCK, nsb_tile=nsb_tile)
     dtab = pl.pallas_call(
@@ -702,6 +706,10 @@ def hash_encode_win(table: jnp.ndarray, positions: jnp.ndarray,
     widen to near-full scans). ``anchor_keys``: optional monotone per-block
     sort keys from the producer (ops/occupancy.march_rays block_keys_m) —
     tightest windows. Gradients flow to the table only.
+
+    Returns FEATURE-MAJOR (L*2, N) — the kernel's natural layout; consume
+    by contracting axis 0 (e.g. InstantNGPModel._mlp_featT) so neither the
+    output nor the backward cotangent pays a 33 MB relayout.
     """
     out, _ = _hw_fwd(table, positions, config, anchor_keys)
     return out
@@ -715,15 +723,15 @@ def _hw_fwd(table, positions, config, anchor_keys=None):
         out = _fwd_pallas(table, pos_p, config, None, 0, lo, win)
     else:
         out = _fwd_jnp(table, pos_p, config, lo, win)
-    return out[:n], (positions, lo, win, table.shape,
-                     anchor_keys is not None,
-                     None if anchor_keys is None else anchor_keys.shape)
+    return out[:, :n], (positions, lo, win, table.shape,
+                        anchor_keys is not None,
+                        None if anchor_keys is None else anchor_keys.shape)
 
 
 def _hw_bwd(config, res, g):
     positions, lo, win, table_shape, had_ak, ak_shape = res
     pos_p, n = _prep(positions)
-    g_p = jnp.pad(g, ((0, pos_p.shape[0] - n), (0, 0)))
+    g_p = jnp.pad(g, ((0, 0), (0, pos_p.shape[0] - n)))
     if jax.default_backend() == 'tpu':
         dtab = _bwd_pallas(table_shape, pos_p, g_p, config, None, 0, lo, win)
     else:
@@ -743,7 +751,8 @@ def hash_encode_win_stochastic(table: jnp.ndarray, positions: jnp.ndarray,
                                ) -> jnp.ndarray:
     """Stochastic-corner windowed encode (training fast path); the corner
     sampler and its variance reduction are shared with ops/hash_xbar.
-    Falls back to the exact oracle off-TPU (kernel PRNG is TPU-only)."""
+    Falls back to the exact oracle off-TPU (kernel PRNG is TPU-only).
+    Returns FEATURE-MAJOR (L*2, N) like hash_encode_win."""
     out, _ = _hws_fwd(table, positions, seed, config, n_corners, anchor_keys)
     return out
 
@@ -756,15 +765,15 @@ def _hws_fwd(table, positions, seed, config, n_corners=2, anchor_keys=None):
         out = _fwd_pallas(table, pos_p, config, seed, n_corners, lo, win)
     else:
         out = _fwd_jnp(table, pos_p, config, lo, win)
-    return out[:n], (positions, seed, lo, win, table.shape,
-                     anchor_keys is not None,
-                     None if anchor_keys is None else anchor_keys.shape)
+    return out[:, :n], (positions, seed, lo, win, table.shape,
+                        anchor_keys is not None,
+                        None if anchor_keys is None else anchor_keys.shape)
 
 
 def _hws_bwd(config, n_corners, res, g):
     positions, seed, lo, win, table_shape, had_ak, ak_shape = res
     pos_p, n = _prep(positions)
-    g_p = jnp.pad(g, ((0, pos_p.shape[0] - n), (0, 0)))
+    g_p = jnp.pad(g, ((0, 0), (0, pos_p.shape[0] - n)))
     if jax.default_backend() == 'tpu':
         dtab = _bwd_pallas(table_shape, pos_p, g_p, config, seed, n_corners,
                            lo, win)

@@ -243,17 +243,15 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     block_valid = rk_sorted < nblocks
     safe_block = jnp.where(block_valid, blk_ray, 0)
 
-    # Per-ray constants fetched with the MXU factored gather (XLA row gather
-    # is serial on TPU).
-    from nerficg_tpu.ops.hash_mxu import mxu_gather
+    # Per-ray constants fetched with a plain XLA row gather: at this shape
+    # (32k gathers of 8-float rows from an 8k-row table) it measures
+    # 0.13 ms vs 8.6 ms for the MXU factored gather — the "row gather is
+    # dead" rule (PERF_NOTES.md) only holds for huge tables with tiny rows.
     ray_table = jnp.stack([
         t_near, rate,
         origins[:, 0], origins[:, 1], origins[:, 2],
         directions[:, 0], directions[:, 1], directions[:, 2],
-    ], axis=0)                                                 # (8, R)
-    rows = -(-num_rays // 128)
-    ray_table = jnp.pad(ray_table, ((0, 0), (0, rows * 128 - num_rays)))
-    ray_table = ray_table.reshape(1, 8, rows, 128)
+    ], axis=1)                                                 # (R, 8)
 
     def _expand(safe_blk, blk_valid, probe=True):
         """Blocks -> samples: positions/ts/deltas/dirs/validity. Pure
@@ -263,11 +261,10 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
         consumed in ray order, so the second occupancy probe is skipped)."""
         ray_of_block = safe_blk // blocks_per_ray              # (Bb,)
         block_in_ray = safe_blk - ray_of_block * blocks_per_ray
-        fetched = mxu_gather(ray_of_block[None], ray_table,
-                             compute_dtype=jnp.float32)[0]     # (8, Bb)
-        b_tnear, b_rate = fetched[0], fetched[1]
-        b_origins = fetched[2:5].T                             # (Bb, 3)
-        b_dirs = fetched[5:8].T
+        fetched = ray_table[ray_of_block]                      # (Bb, 8)
+        b_tnear, b_rate = fetched[:, 0], fetched[:, 1]
+        b_origins = fetched[:, 2:5]                            # (Bb, 3)
+        b_dirs = fetched[:, 5:8]
         offs = jnp.arange(block, dtype=jnp.float32)[None, :]
         sample_step = block_in_ray[:, None].astype(jnp.float32) * block + offs
         sample_flat_id = (ray_of_block[:, None] * max_steps

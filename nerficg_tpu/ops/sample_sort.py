@@ -6,12 +6,19 @@ ordered for the gen-3 windowed hash encode (ops/hash_window.py). Field
 outputs computed on the morton stream must return to ray order — a pure
 block-row permutation of the (sigma, rgb) channels.
 
-Why not ``lax.sort`` with the channels as payloads: payload-heavy sorts run
-fine (~1 ms) but take MINUTES to compile on this stack (measured 494 s for a
-26-operand sort), so the permutation is applied by the multi-channel
-crossbar kernel ``ops.xbar_gather.xbar_permute`` instead, with a custom VJP
-that routes cotangents through the inverse permutation (no scatter; the
-reference's CUDA marcher N4 never reorders because its gathers are free).
+Implementation: a plain XLA row gather ``mat[perm]``. The round-2 cost
+model ("XLA row gather is serial/dead on TPU", PERF_NOTES.md) was measured
+on 33.5M gathers of 2-float rows from 2^19-row tables; at THIS shape
+(32k rows of 32 floats from a 32k-row table) the same gather measures
+0.067 ms — 200x faster than the crossbar row-scan kernel it replaces
+(12.98 ms isolated; the scan pays O(rows^2) VPU work while the gather
+streams each row once). Keep gathers wide and tables small and they are
+fine on TPU; the crossbar/MXU machinery remains the answer only for the
+huge-table tiny-row regime of the hash encode.
+
+The VJP routes cotangents through the inverse permutation (no scatter;
+the reference's CUDA marcher N4 never reorders because its gathers are
+free — csrc/raymarching.cu).
 """
 
 from __future__ import annotations
@@ -19,29 +26,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from nerficg_tpu.ops.xbar_gather import xbar_permute
-
 __all__ = ['permute_block_channels']
 
 
 @jax.custom_vjp
 def _permute(perms: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
-    """out = mat[perms[0]]; differentiable in ``mat``. Values move bit-exact
-    as f32 (a bf16-paired transport halved the kernel scan but its strided
-    pack/unpack relayouts cost 3x the saving in XLA glue — measured).
+    """out = mat[perms[0]]; differentiable in ``mat``.
 
     perms: (2, N) int32 rows [forward perm, inverse perm] — stacked so the
     vjp can return one zero cotangent for them."""
-    return xbar_permute(mat, perms[0])
+    return mat[perms[0]]
 
 
 def _permute_fwd(perms, mat):
-    return xbar_permute(mat, perms[0]), perms
+    return mat[perms[0]], perms
 
 
 def _permute_bwd(perms, g):
     # out[i] = mat[p[i]] with p a bijection -> d_mat[j] = g[p_inv[j]].
-    return jnp.zeros_like(perms), xbar_permute(g, perms[1])
+    return jnp.zeros_like(perms), g[perms[1]]
 
 
 _permute.defvjp(_permute_fwd, _permute_bwd)

@@ -142,16 +142,16 @@ class TestOracle:
         lo = jnp.zeros((4, nsb), jnp.int32)
         win = jnp.asarray([[lay.rows[lv]] * nsb for lv in range(4)],
                           jnp.int32)
-        out = hw._fwd_jnp(table, pos_p, cfg, lo, win)[:n]
+        out = hw._fwd_jnp(table, pos_p, cfg, lo, win)[:, :n]
 
         rows, lanes, w = hw._corner_rows_lanes_jnp(pos_p, cfg)
         idx = rows * 128 + lanes
         flat = table.reshape(4, 2, -1).astype(jnp.bfloat16).astype(
             jnp.float32)
         gathered = jax.vmap(lambda t, i: t[:, i.reshape(-1)])(flat, idx)
-        ref = jnp.einsum('lfnc,lnc->nlf',
+        ref = jnp.einsum('lfnc,lnc->lfn',
                          gathered.reshape(4, 2, pos_p.shape[0], 8),
-                         w).reshape(pos_p.shape[0], -1)[:n]
+                         w).reshape(-1, pos_p.shape[0])[:, :n]
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
 
@@ -160,12 +160,12 @@ class TestOracle:
         table = _table(cfg, rng)
         pos = _sorted_positions(700)
         cot = jax.random.normal(jax.random.PRNGKey(3),
-                                (700, cfg.output_dim))
+                                (cfg.output_dim, 700))
         g = jax.grad(lambda t: jnp.sum(hw.hash_encode_win(t, pos, cfg) *
                                        cot))(table)
         pos_p, n = hw._prep(pos)
         lo, win = hw.window_bases(pos_p, cfg)
-        cot_p = jnp.pad(cot, ((0, pos_p.shape[0] - n), (0, 0)))
+        cot_p = jnp.pad(cot, ((0, 0), (0, pos_p.shape[0] - n)))
         ref = hw._bwd_jnp(table.shape, pos_p, cot_p, cfg, lo, win)
         np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
                                    atol=1e-5, rtol=1e-4)
@@ -176,7 +176,7 @@ class TestOracle:
         table = _table(cfg, rng)
         pos = _sorted_positions(300)
         cot = jax.random.normal(jax.random.PRNGKey(4),
-                                (300, cfg.output_dim))
+                                (cfg.output_dim, 300))
         direction = jax.random.normal(jax.random.PRNGKey(5), table.shape)
 
         def f(t):
@@ -209,7 +209,7 @@ class TestOracle:
         perm = jax.random.permutation(jax.random.PRNGKey(9), 1200)
         pos_shuffled = pos_sorted[perm]
         a = hw.hash_encode_win(table, pos_shuffled, cfg)
-        b = hw.hash_encode_win(table, pos_sorted, cfg)[perm]
+        b = hw.hash_encode_win(table, pos_sorted, cfg)[:, perm]
         # windows differ between the two calls, so wrapped stragglers can
         # differ; demand agreement on the overwhelming majority
         close = np.isclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -234,6 +234,52 @@ def main():
             hash_encode_xbar(t, p, cfg) * gcot)))
         timed(enceg, (table, positions), label='encode fwd+bwd exact-8 (262k)')
 
+    if which in ('all', 'winencode'):
+        from nerficg_tpu.ops.hash_window import (hash_encode_win,
+                                                 hash_encode_win_stochastic,
+                                                 morton_sort_keys)
+        keys = morton_sort_keys(positions)
+        order = jnp.argsort(keys)
+        pos_sorted = positions[order]
+
+        wenc2 = jax.jit(lambda t, p: hash_encode_win_stochastic(
+            t, p, seed, cfg, 2))
+        timed(wenc2, (table, pos_sorted), label='win-encode fwd stoch-2 (262k)')
+        wence = jax.jit(lambda t, p: hash_encode_win(t, p, cfg))
+        timed(wence, (table, pos_sorted), label='win-encode fwd exact-8 (262k)')
+
+        gcot_t = gcot.T   # windowed encode is feature-major (F, N)
+        wenc2g = jax.jit(jax.grad(lambda t, p: jnp.sum(
+            hash_encode_win_stochastic(t, p, seed, cfg, 2) * gcot_t)))
+        timed(wenc2g, (table, pos_sorted),
+              label='win-encode fwd+bwd stoch-2 (262k)')
+        wenceg = jax.jit(jax.grad(lambda t, p: jnp.sum(
+            hash_encode_win(t, p, cfg) * gcot_t)))
+        timed(wenceg, (table, pos_sorted),
+              label='win-encode fwd+bwd exact-8 (262k)')
+
+        # through the real marcher stream (anchor-keyed windows)
+        def march_enc2(t, o, d, r):
+            m = march_rays(o, d, model.aabb_min, model.aabb_max, grid,
+                           renderer._march_res, max_steps=512,
+                           sample_budget=262144, rng=r, block=8,
+                           exponential=False, morton=True)
+            unit = (m.positions_m - model.aabb_min) / \
+                (model.aabb_max - model.aabb_min)
+            return hash_encode_win_stochastic(
+                t, jnp.clip(unit, 0.0, 1.0 - 1e-6), seed, cfg, 2,
+                anchor_keys=m.block_keys_m)
+        timed(march_enc2, (table, origins, directions, jax.random.PRNGKey(1)),
+              label='march + win-encode fwd stoch-2')
+
+        def march_enc2g(t, o, d, r):
+            def loss(tt):
+                return jnp.sum(march_enc2(tt, o, d, r) * gcot.T)
+            return jax.grad(loss)(t)
+        timed(march_enc2g, (table, origins, directions,
+                            jax.random.PRNGKey(1)),
+              label='march + win-encode fwd+bwd stoch-2')
+
     if which in ('all', 'mlp'):
         dirs_s = jnp.broadcast_to(directions[:1], (n_samples, 3))
 

@@ -83,7 +83,7 @@ def main():
         pos_bp, _ = hw._prep(pos_b)
         lo_b, win_b = hw.window_bases(pos_bp, cfg)
         gb = jax.random.normal(jax.random.PRNGKey(3),
-                               (pos_bp.shape[0], cfg.output_dim))
+                               (cfg.output_dim, pos_bp.shape[0]))
         seed = jnp.asarray([[123]], jnp.int32)
 
         def timed(work, args, label, iters=30):
