@@ -25,7 +25,8 @@ from nerficg_tpu.ops.occupancy import (cascade_cell_positions,
                                        composite_packed,
                                        downsample_occupancy,
                                        downsample_occupancy_cascaded,
-                                       march_rays, occupancy_probe_cascaded,
+                                       march_rays,
+                                       occupancy_probe_cascaded_xyz,
                                        update_density_grid)
 
 __all__ = ['InstantNGPRenderer']
@@ -116,9 +117,11 @@ class InstantNGPRenderer(BaseRenderer):
             else int(self.model.GRID_RESOLUTION)
         probe_fn = None
         if grid_binary.ndim == 3:      # (C, words, 128) cascaded bitfields
-            probe_fn = lambda pos: occupancy_probe_cascaded(
-                grid_binary, pos, self.model.center, float(self.model.SCALE),
-                resolution)
+            # probe_fn takes per-axis world-coordinate planes (the marcher's
+            # layout-friendly form; see ops/occupancy.py candidate pass).
+            probe_fn = lambda px, py, pz: occupancy_probe_cascaded_xyz(
+                grid_binary, px, py, pz, self.model.center,
+                float(self.model.SCALE), resolution)
         use_window = \
             str(getattr(self.model, 'ENCODING_BACKEND', '')) == 'window'
         march = march_rays(

@@ -176,6 +176,43 @@ def _row_lane(vx, vy, vz, res, dense, bscale, rpb):
             jnp.where(is_dense, lane_d, lane_h))
 
 
+def _spread_tables(ssb):
+    """Kernel-side morton LUT: three (ssb, 128) tables t_k[_, v] spreading
+    the 5 low bits of v to positions 3i+k. Replaces the 30-pass shift/or
+    interleave in _morton3_static with 3 crossbar gathers per corner
+    (the forward kernel is VPU-bound on row computation, not the scan)."""
+    v = jax.lax.broadcasted_iota(jnp.int32, (ssb, _LANES), 1)
+    s = jnp.zeros_like(v)
+    for i in range(_BRICK_BITS_MAX):
+        s = s | (((v >> i) & 1) << (3 * i))
+    return s << 2, s << 1, s
+
+
+def _row_lane_lut(vx, vy, vz, res, dense, bscale, rpb, sp):
+    """Kernel variant of _row_lane using the _spread_tables LUT. Identical
+    mapping (the LUT computes the same generalized morton). Both paths are
+    computed + selected: a lax.cond on the SMEM scalar measured SLOWER
+    (branching inhibits Mosaic's instruction scheduling)."""
+    lin = vx * (res * res) + vy * res + vz
+    row_d = jnp.right_shift(lin, 7)
+    lane_d = jnp.bitwise_and(lin, _LANES - 1)
+    bx = (vx.astype(jnp.float32) * bscale).astype(jnp.int32)
+    by = (vy.astype(jnp.float32) * bscale).astype(jnp.int32)
+    bz = (vz.astype(jnp.float32) * bscale).astype(jnp.int32)
+    bm = (jnp.take_along_axis(sp[0], bx, axis=1) |
+          jnp.take_along_axis(sp[1], by, axis=1) |
+          jnp.take_along_axis(sp[2], bz, axis=1))
+    # int32 wraparound product == the uint32 NGP hash bit pattern; the low
+    # bits extracted below are unaffected by the arithmetic shift.
+    h = vx ^ (vy * jnp.int32(_P1.astype(np.int32))) ^ \
+        (vz * jnp.int32(_P2.astype(np.int32)))
+    row_h = bm * rpb + jnp.bitwise_and(jnp.right_shift(h, 7), rpb - 1)
+    lane_h = jnp.bitwise_and(h, _LANES - 1)
+    is_dense = dense != 0
+    return (jnp.where(is_dense, row_d, row_h),
+            jnp.where(is_dense, lane_d, lane_h))
+
+
 def _wrap_rel(rel, win):
     """Fold a row offset into [0, win) — float-division modulo, clamped.
 
@@ -187,16 +224,25 @@ def _wrap_rel(rel, win):
     return jnp.clip(out, 0, win - 1)
 
 
-def morton_sort_keys(positions_unit: jnp.ndarray) -> jnp.ndarray:
-    """(N, 3) unit positions -> (N,) int32 morton keys at 2^10 resolution."""
-    c = jnp.clip((positions_unit * 1024.0).astype(jnp.int32), 0, 1023)
-    x, y, z = c[..., 0], c[..., 1], c[..., 2]
+def morton_keys_xyz(ux: jnp.ndarray, uy: jnp.ndarray,
+                    uz: jnp.ndarray) -> jnp.ndarray:
+    """Per-axis unit coordinate planes -> int32 morton keys at 2^10
+    resolution (plane form avoids trailing (..., 3) layout copies)."""
+    x = jnp.clip((ux * 1024.0).astype(jnp.int32), 0, 1023)
+    y = jnp.clip((uy * 1024.0).astype(jnp.int32), 0, 1023)
+    z = jnp.clip((uz * 1024.0).astype(jnp.int32), 0, 1023)
     m = jnp.zeros_like(x)
     for i in range(10):
         m = m | (((x >> i) & 1) << (3 * i + 2))
         m = m | (((y >> i) & 1) << (3 * i + 1))
         m = m | (((z >> i) & 1) << (3 * i))
     return m
+
+
+def morton_sort_keys(positions_unit: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) unit positions -> (N,) int32 morton keys at 2^10 resolution."""
+    return morton_keys_xyz(positions_unit[..., 0], positions_unit[..., 1],
+                           positions_unit[..., 2])
 
 
 def window_bases(positions: jnp.ndarray, config: HashGridConfig,
@@ -405,21 +451,26 @@ def _kernel_corners(pos, res_m1, n_corners):
     return base3, corners, weights
 
 
-def _kernel_rows(base3, corners, res_i, dense, bscale, rpb):
+def _kernel_rows(base3, corners, res_i, dense, bscale, rpb, sp=None):
     out = []
     for c in corners:
         vx = base3[0] + c[0]
         vy = base3[1] + c[1]
         vz = base3[2] + c[2]
-        out.append(_row_lane(vx, vy, vz, res_i, dense, bscale, rpb))
+        if sp is not None:
+            out.append(_row_lane_lut(vx, vy, vz, res_i, dense, bscale, rpb,
+                                     sp))
+        else:
+            out.append(_row_lane(vx, vy, vz, res_i, dense, bscale, rpb))
     return out
 
 
 def _fwd_kernel(res_ref, dense_ref, bscale_ref, rpb_ref, lo_ref, win_ref,
-                seed_ref, pos_ref, tab_ref, out_ref, *, n_corners: int,
-                ssb: int, nsb_tile: int):
+                seed_ref, pos_ref, tab_ref, out_ref, *save_refs,
+                n_corners: int, ssb: int, nsb_tile: int):
     lvl = pl.program_id(0)
     tile = pl.program_id(1)
+    rl_ref, w_ref = save_refs if save_refs else (None, None)
     res_i = res_ref[lvl, 0]
     res_m1 = (res_i - 1).astype(jnp.float32)
     dense = dense_ref[lvl, 0]
@@ -427,26 +478,41 @@ def _fwd_kernel(res_ref, dense_ref, bscale_ref, rpb_ref, lo_ref, win_ref,
     rpb = rpb_ref[lvl, 0]
     if n_corners:
         pltpu.prng_seed(seed_ref[0, 0], lvl * 65536 + tile)
+    sp = _spread_tables(ssb)
     for sb in range(nsb_tile):
         pos = pos_ref[:, sb * ssb:(sb + 1) * ssb, :]
         base3, corners, weights = _kernel_corners(pos, res_m1, n_corners)
-        rl = _kernel_rows(base3, corners, res_i, dense, bscale, rpb)
+        rl = _kernel_rows(base3, corners, res_i, dense, bscale, rpb, sp)
         lo = lo_ref[lvl, tile * nsb_tile + sb]
         win = win_ref[lvl, tile * nsb_tile + sb]
         rel = [( _wrap_rel(row - lo, win), lane) for row, lane in rl]
+        if rl_ref is not None:
+            # Persist the per-corner (window-relative row | lane) and the
+            # corner weight: the backward consumes these instead of
+            # recomputing the whole corner/row pipeline (which dominates the
+            # VPU-latency-bound kernels). rel < 128 and lane < 128 pack into
+            # 14 bits.
+            for c, ((r, lane), w) in enumerate(zip(rel, weights)):
+                rl_ref[0, c, sb * ssb:(sb + 1) * ssb, :] = (r << 7) | lane
+                w_ref[0, c, sb * ssb:(sb + 1) * ssb, :] = w
         acc0 = jnp.zeros((ssb, _LANES), jnp.float32)
         acc1 = jnp.zeros((ssb, _LANES), jnp.float32)
+        zero = jnp.zeros((), jnp.float32)
 
         def body(i, carry, rel=rel, weights=weights, lo=lo):
             a0, a1 = carry
-            rowvals = jax.lax.broadcast_in_dim(
-                tab_ref[0, pl.ds(lo + i, 1), :], (ssb, _LANES), (0, 1))
+            # Unpack the row ONCE per iteration (f0/f1 planes), then gather
+            # each plane per corner: 2 crossbars + 3 VPU passes per corner
+            # instead of 1 crossbar + ~7 passes (unpack per corner + the
+            # cmp/cast/mul chain) — measured ~25% off the scan loop.
+            row = tab_ref[0, pl.ds(lo + i, 1), :]
+            r0, r1 = _unpack(row)
+            rv0 = jax.lax.broadcast_in_dim(r0, (ssb, _LANES), (0, 1))
+            rv1 = jax.lax.broadcast_in_dim(r1, (ssb, _LANES), (0, 1))
             for (r, lane), w in zip(rel, weights):
-                gv = jnp.take_along_axis(rowvals, lane, axis=1)
-                f0, f1 = _unpack(gv)
-                hit = (r == i).astype(jnp.float32) * w
-                a0 = a0 + hit * f0
-                a1 = a1 + hit * f1
+                hit = jnp.where(r == i, w, zero)
+                a0 = a0 + hit * jnp.take_along_axis(rv0, lane, axis=1)
+                a1 = a1 + hit * jnp.take_along_axis(rv1, lane, axis=1)
             return a0, a1
 
         acc0, acc1 = jax.lax.fori_loop(0, win, body, (acc0, acc1))
@@ -478,11 +544,12 @@ def _bwd_kernel(res_ref, dense_ref, bscale_ref, rpb_ref, lo_ref, win_ref,
     _CHK = 64
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (_CHK, _LANES), 0)
     iota_lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    sp = _spread_tables(ssb)
 
     for sb in range(nsb_tile):
         pos = pos_ref[:, sb * ssb:(sb + 1) * ssb, :]
         base3, corners, weights = _kernel_corners(pos, res_m1, n_corners)
-        rl = _kernel_rows(base3, corners, res_i, dense, bscale, rpb)
+        rl = _kernel_rows(base3, corners, res_i, dense, bscale, rpb, sp)
         lo = lo_ref[lvl, tile * nsb_tile + sb]
         win = win_ref[lvl, tile * nsb_tile + sb]
         rel = [(_wrap_rel(row - lo, win), lane) for row, lane in rl]
@@ -498,44 +565,46 @@ def _bwd_kernel(res_ref, dense_ref, bscale_ref, rpb_ref, lo_ref, win_ref,
             def win_chunk(wi, _):
                 chunk = 8 if ssb % 8 == 0 else 1
 
+                zero_bf = jnp.zeros((), jnp.bfloat16)
+                one_bf = jnp.ones((), jnp.bfloat16)
+
                 def srow(ci, d):
                     base_i = ci * chunk
                     for off in range(chunk):
                         si = base_i + off
                         g0 = g_ref[0, 0, pl.ds(sb * ssb + si, 1), :]
                         g1 = g_ref[0, 1, pl.ds(sb * ssb + si, 1), :]
-                        # One fused MXU dot per sample-row: corners ride the
-                        # CONTRACTED axis (their scatters sum), features the
+                        # One fused MXU dot per (sample-row, corner): the
+                        # sample lanes ride the CONTRACTED axis, features the
                         # OUTPUT rows (2 x 64-row chunk = 128 = a full MXU
-                        # tile). bf16 operands (one-hots are exact in bf16;
-                        # gradient values lose <=0.4% relative) run the MXU
-                        # faster than the f32 path.
-                        aw0_l, aw1_l, mt_l = [], [], []
+                        # tile). The kernel is VPU-bound on one-hot
+                        # CONSTRUCTION, not the dot, so the gradient weights
+                        # are folded INTO the row-select (one where-pass per
+                        # feature instead of cmp + cast + mul) and the
+                        # per-corner operands go straight to their own dot
+                        # (no concatenate copies). bf16 operands (one-hots
+                        # are exact in bf16; gradient values lose <=0.4%
+                        # relative) run the MXU faster than the f32 path.
                         for c in range(n_c):
                             rel_v = rel_s[c, pl.ds(si, 1), :] - wi * _CHK
                             lane_v = lane_s[c, pl.ds(si, 1), :]
                             wv = w_s[c, pl.ds(si, 1), :]
-                            w0, w1 = g0 * wv, g1 * wv
-                            arow = (iota_sub == jax.lax.broadcast_in_dim(
+                            w0 = (g0 * wv).astype(jnp.bfloat16)
+                            w1 = (g1 * wv).astype(jnp.bfloat16)
+                            rhit = (iota_sub == jax.lax.broadcast_in_dim(
                                 rel_v, (_CHK, _LANES), (0, 1))
                             ).astype(jnp.bfloat16)
-                            mt_l.append(
-                                (iota_lane == jax.lax.broadcast_in_dim(
-                                    lane_v, (_LANES, _LANES), (0, 1))
-                                 ).astype(jnp.bfloat16))
-                            aw0_l.append(arow * jax.lax.broadcast_in_dim(
-                                w0.astype(jnp.bfloat16),
-                                (_CHK, _LANES), (0, 1)))
-                            aw1_l.append(arow * jax.lax.broadcast_in_dim(
-                                w1.astype(jnp.bfloat16),
-                                (_CHK, _LANES), (0, 1)))
-                        a_f = jnp.concatenate(
-                            [jnp.concatenate(aw0_l, axis=1),
-                             jnp.concatenate(aw1_l, axis=1)], axis=0)
-                        m_f = jnp.concatenate(mt_l, axis=1)
-                        d = d + jax.lax.dot_general(
-                            a_f, m_f, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            a0 = rhit * jax.lax.broadcast_in_dim(
+                                w0, (_CHK, _LANES), (0, 1))
+                            a1 = rhit * jax.lax.broadcast_in_dim(
+                                w1, (_CHK, _LANES), (0, 1))
+                            m = (iota_lane == jax.lax.broadcast_in_dim(
+                                lane_v, (_LANES, _LANES), (0, 1))
+                                 ).astype(jnp.bfloat16)
+                            a_f = jnp.concatenate([a0, a1], axis=0)
+                            d = d + jax.lax.dot_general(
+                                a_f, m, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
                     return d
 
                 d = jax.lax.fori_loop(
@@ -555,6 +624,70 @@ def _bwd_kernel(res_ref, dense_ref, bscale_ref, rpb_ref, lo_ref, win_ref,
             w_s=pltpu.VMEM((n_c, ssb, _LANES), jnp.float32))
 
 
+def _bwd_kernel_cached(lo_ref, win_ref, rl_ref, w_ref, g_ref, out_ref, *,
+                       n_corners: int, ssb: int, nsb_tile: int):
+    """Backward consuming the forward's saved (rel|lane, weight) streams —
+    no corner sampling, no row hashing, no window wrap: just unpack, build
+    the one-hots, and run the scatter dots."""
+    tile = pl.program_id(1)
+
+    @pl.when(tile == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    _CHK = 64
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (_CHK, _LANES), 0)
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+    lvl = pl.program_id(0)
+
+    for sb in range(nsb_tile):
+        lo = lo_ref[lvl, tile * nsb_tile + sb]
+        win = win_ref[lvl, tile * nsb_tile + sb]
+        nwin = (win + _CHK - 1) // _CHK
+
+        def win_chunk(wi, _):
+            chunk = 8 if ssb % 8 == 0 else 1
+
+            def srow(ci, d):
+                base_i = ci * chunk
+                for off in range(chunk):
+                    si = base_i + off
+                    g0 = g_ref[0, 0, pl.ds(sb * ssb + si, 1), :]
+                    g1 = g_ref[0, 1, pl.ds(sb * ssb + si, 1), :]
+                    for c in range(n_corners or 8):
+                        x = rl_ref[0, c, pl.ds(sb * ssb + si, 1), :]
+                        rel_v = jnp.right_shift(x, 7) - wi * _CHK
+                        lane_v = jnp.bitwise_and(x, _LANES - 1)
+                        wv = w_ref[0, c, pl.ds(sb * ssb + si, 1), :]
+                        w0 = (g0 * wv).astype(jnp.bfloat16)
+                        w1 = (g1 * wv).astype(jnp.bfloat16)
+                        rhit = (iota_sub == jax.lax.broadcast_in_dim(
+                            rel_v, (_CHK, _LANES), (0, 1))
+                        ).astype(jnp.bfloat16)
+                        a0 = rhit * jax.lax.broadcast_in_dim(
+                            w0, (_CHK, _LANES), (0, 1))
+                        a1 = rhit * jax.lax.broadcast_in_dim(
+                            w1, (_CHK, _LANES), (0, 1))
+                        m = (iota_lane == jax.lax.broadcast_in_dim(
+                            lane_v, (_LANES, _LANES), (0, 1))
+                             ).astype(jnp.bfloat16)
+                        a_f = jnp.concatenate([a0, a1], axis=0)
+                        d = d + jax.lax.dot_general(
+                            a_f, m, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                return d
+
+            d = jax.lax.fori_loop(
+                0, ssb // chunk, srow,
+                jnp.zeros((2 * _CHK, _LANES), jnp.float32))
+            base_row = pl.multiple_of(lo + wi * _CHK, 8)
+            out_ref[0, 0, pl.ds(base_row, _CHK), :] += d[:_CHK]
+            out_ref[0, 1, pl.ds(base_row, _CHK), :] += d[_CHK:]
+            return 0
+
+        jax.lax.fori_loop(0, nwin, win_chunk, 0)
+
+
 def _layout_args(config):
     lay = window_layout(config)
     res = jnp.asarray(lay.res, jnp.int32).reshape(-1, 1)
@@ -570,7 +703,8 @@ def _seed_arr(seed):
     return jnp.asarray([[0 if seed is None else seed]], jnp.int32)
 
 
-def _fwd_pallas(table, positions, config, seed, n_corners, lo, win):
+def _fwd_pallas(table, positions, config, seed, n_corners, lo, win,
+                save_rows=False):
     levels = table.shape[0]
     lay, res, dense, bscale, rpb = _layout_args(config)
     packed = _pack_table(table)
@@ -586,7 +720,29 @@ def _fwd_pallas(table, positions, config, seed, n_corners, lo, win):
     pt = positions.T.reshape(3, n // _LANES, _LANES)
     kernel = functools.partial(_fwd_kernel, n_corners=n_corners,
                                ssb=SUB_BLOCK, nsb_tile=nsb_tile)
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, 2, s_tiles, _LANES),
+                              lambda l, t: (l, 0, t, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((levels, 2, n // _LANES, _LANES),
+                                       jnp.float32)]
+    if save_rows:
+        nc = max(n_corners, 1)
+        out_specs += [
+            pl.BlockSpec((1, nc, s_tiles, _LANES), lambda l, t: (l, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, s_tiles, _LANES), lambda l, t: (l, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((levels, nc, n // _LANES, _LANES),
+                                 jnp.int32),
+            # f32 (not bf16): single-sublane dynamic loads in the cached
+            # backward require (8,128) tiling; bf16's (16,128) tiles cannot
+            # prove row alignment (Mosaic error).
+            jax.ShapeDtypeStruct((levels, nc, n // _LANES, _LANES),
+                                 jnp.float32),
+        ]
+    res_t = pl.pallas_call(
         kernel,
         grid=(levels, n_tiles),
         in_specs=[
@@ -602,11 +758,8 @@ def _fwd_pallas(table, positions, config, seed, n_corners, lo, win):
             pl.BlockSpec((1, lay.r_pad, _LANES), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, s_tiles, _LANES),
-                               lambda l, t: (l, 0, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((levels, 2, n // _LANES, _LANES),
-                                       jnp.float32),
+        out_specs=out_specs if save_rows else out_specs[0],
+        out_shape=out_shapes if save_rows else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
     )(res, dense, bscale, rpb, lo, win, _seed_arr(seed), pt, packed)
@@ -614,7 +767,10 @@ def _fwd_pallas(table, positions, config, seed, n_corners, lo, win):
     # sample-major view would relayout 33 MB here and again for the
     # backward's cotangent (2 x ~0.4 ms measured); instead the consumer
     # contracts the leading feature axis directly (model._mlp_featT).
-    return out.reshape(levels * 2, n)
+    if save_rows:
+        out, rl, w = res_t
+        return out.reshape(levels * 2, n), rl, w
+    return res_t.reshape(levels * 2, n)
 
 
 def _bwd_pallas(table_shape, positions, g, config, seed, n_corners, lo, win):
@@ -653,6 +809,49 @@ def _bwd_pallas(table_shape, positions, g, config, seed, n_corners, lo, win):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
     )(res, dense, bscale, rpb, lo, win, _seed_arr(seed), pt, gt)
+    full_r = table_shape[2]
+    if full_r >= lay.r_pad:
+        dtab = jnp.pad(dtab, ((0, 0), (0, 0), (0, full_r - lay.r_pad),
+                              (0, 0)))
+    else:
+        dtab = dtab[:, :, :full_r]
+    return dtab
+
+
+def _bwd_pallas_cached(table_shape, rl, w, g, config, lo, win, n_corners):
+    """Backward from the forward's saved (rel|lane, weight) residuals."""
+    levels = table_shape[0]
+    lay = window_layout(config)
+    n = g.shape[1]
+    tile_n = min(WIN_TILE_N, n)
+    s_tiles = tile_n // _LANES
+    n_tiles = n // tile_n
+    nsb_tile = s_tiles // SUB_BLOCK
+    gt = g.reshape(levels, 2, n // _LANES, _LANES)
+    nc = max(n_corners, 1)
+    kernel = functools.partial(_bwd_kernel_cached, n_corners=n_corners,
+                               ssb=SUB_BLOCK, nsb_tile=nsb_tile)
+    dtab = pl.pallas_call(
+        kernel,
+        grid=(levels, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lo
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # win
+            pl.BlockSpec((1, nc, s_tiles, _LANES), lambda l, t: (l, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, s_tiles, _LANES), lambda l, t: (l, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, s_tiles, _LANES), lambda l, t: (l, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, lay.r_pad, _LANES),
+                               lambda l, t: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((levels, 2, lay.r_pad, _LANES),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(lo, win, rl, w, gt)
     full_r = table_shape[2]
     if full_r >= lay.r_pad:
         dtab = jnp.pad(dtab, ((0, 0), (0, 0), (0, full_r - lay.r_pad),
@@ -753,11 +952,8 @@ def hash_encode_win_stochastic(table: jnp.ndarray, positions: jnp.ndarray,
     sampler and its variance reduction are shared with ops/hash_xbar.
     Falls back to the exact oracle off-TPU (kernel PRNG is TPU-only).
     Returns FEATURE-MAJOR (L*2, N) like hash_encode_win."""
-    out, _ = _hws_fwd(table, positions, seed, config, n_corners, anchor_keys)
-    return out
-
-
-def _hws_fwd(table, positions, seed, config, n_corners=2, anchor_keys=None):
+    # Primal-only calls skip the row/weight side outputs (they exist for the
+    # VJP residuals; see _hws_fwd).
     pos_p, n = _prep(positions)
     ak = _prep_anchors(anchor_keys, positions.shape[0], pos_p.shape[0])
     lo, win = window_bases(pos_p, config, anchor_keys=ak)
@@ -765,23 +961,50 @@ def _hws_fwd(table, positions, seed, config, n_corners=2, anchor_keys=None):
         out = _fwd_pallas(table, pos_p, config, seed, n_corners, lo, win)
     else:
         out = _fwd_jnp(table, pos_p, config, lo, win)
-    return out[:, :n], (positions, seed, lo, win, table.shape,
-                        anchor_keys is not None,
-                        None if anchor_keys is None else anchor_keys.shape)
+    return out[:, :n]
+
+
+def _hws_fwd(table, positions, seed, config, n_corners=2, anchor_keys=None):
+    pos_p, n = _prep(positions)
+    ak = _prep_anchors(anchor_keys, positions.shape[0], pos_p.shape[0])
+    lo, win = window_bases(pos_p, config, anchor_keys=ak)
+    if jax.default_backend() == 'tpu':
+        # Save the per-corner (rel|lane, weight) streams for the backward:
+        # recomputing them costs ~2x the scatter dots themselves (the
+        # kernels are VPU-latency-bound on the corner/row math).
+        out, rl, w = _fwd_pallas(table, pos_p, config, seed, n_corners,
+                                 lo, win, save_rows=True)
+        res = (rl, w, lo, win, table.shape,
+               anchor_keys is not None,
+               None if anchor_keys is None else anchor_keys.shape,
+               np.shape(seed), positions.shape)
+    else:
+        out = _fwd_jnp(table, pos_p, config, lo, win)
+        res = (positions, seed, lo, win, table.shape,
+               anchor_keys is not None,
+               None if anchor_keys is None else anchor_keys.shape)
+    return out[:, :n], res
 
 
 def _hws_bwd(config, n_corners, res, g):
-    positions, seed, lo, win, table_shape, had_ak, ak_shape = res
-    pos_p, n = _prep(positions)
-    g_p = jnp.pad(g, ((0, 0), (0, pos_p.shape[0] - n)))
     if jax.default_backend() == 'tpu':
-        dtab = _bwd_pallas(table_shape, pos_p, g_p, config, seed, n_corners,
-                           lo, win)
+        rl, w, lo, win, table_shape, had_ak, ak_shape, seed_shape, \
+            pos_shape = res
+        n_pad = rl.shape[2] * _LANES
+        g_p = jnp.pad(g, ((0, 0), (0, n_pad - g.shape[1])))
+        dtab = _bwd_pallas_cached(table_shape, rl, w, g_p, config, lo, win,
+                                  n_corners)
+        pos_ct = jnp.zeros(pos_shape, jnp.float32)
     else:
+        positions, seed, lo, win, table_shape, had_ak, ak_shape = res
+        seed_shape = np.shape(seed)
+        pos_p, n = _prep(positions)
+        g_p = jnp.pad(g, ((0, 0), (0, pos_p.shape[0] - n)))
         dtab = _bwd_jnp(table_shape, pos_p, g_p, config, lo, win)
-    seed_ct = np.zeros(np.shape(seed), jax.dtypes.float0)
+        pos_ct = jnp.zeros_like(positions)
+    seed_ct = np.zeros(seed_shape, jax.dtypes.float0)
     ak_ct = np.zeros(ak_shape, jax.dtypes.float0) if had_ak else None
-    return dtab, jnp.zeros_like(positions), seed_ct, ak_ct
+    return dtab, pos_ct, seed_ct, ak_ct
 
 
 hash_encode_win_stochastic.defvjp(_hws_fwd, _hws_bwd)

@@ -134,7 +134,7 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
                probe_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]]
                = None,
                morton: bool = False,
-               probes_per_block: int = 3) -> MarchResults:
+               probes_per_block: int = 2) -> MarchResults:
     """Fixed-step occupancy-skipping ray marcher (replaces CUDA N4).
 
     origins/directions: (R, 3); directions unit-norm.
@@ -185,31 +185,46 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     # it ~5x. Candidates are therefore probed at ``probes_per_block``
     # fractions of each block only (a cell always covers several probe
     # points); per-SAMPLE validity is re-probed exactly during expansion, so
-    # only block selection coarsens, never sample masking.
+    # only block selection coarsens, never sample masking. The default of 2
+    # keeps the probe gap (block/2 = 4 steps) well under a cell crossing AND
+    # makes blocks_per_ray * P a lane multiple at the operating point
+    # (64 * 2 = 128), so the probe plane reshapes are layout-free.
     blocks_per_ray = max_steps // block
     nblocks = num_rays * blocks_per_ray
     block_budget = sample_budget // block
     pfrac = (jnp.arange(probes_per_block, dtype=jnp.float32) + 0.5) \
         / probes_per_block
     bidx = jnp.arange(blocks_per_ray, dtype=jnp.float32)
-    step_pos = (bidx[:, None] + pfrac[None, :]) * block        # (Bp, P)
+    step_pos = ((bidx[:, None] + pfrac[None, :]) * block
+                ).reshape(-1)                                  # (Bp*P,)
     if exponential:
-        ts_p = t_near[:, None, None] * jnp.exp(
-            step_pos[None] * rate[:, None, None])              # (R, Bp, P)
+        ts_p = t_near[:, None] * jnp.exp(step_pos[None] * rate[:, None])
     else:
-        ts_p = t_near[:, None, None] + step_pos[None] * rate[:, None, None]
-    positions = origins[:, None, None, :] + \
-        directions[:, None, None, :] * ts_p[..., None]
-    unit = (positions - aabb_min) / (aabb_max - aabb_min)
-    in_box = jnp.all((unit >= 0.0) & (unit < 1.0), axis=-1)
+        ts_p = t_near[:, None] + step_pos[None] * rate[:, None]  # (R, BpP)
+    # Per-axis coordinate PLANES: trailing (..., 3) coordinate vectors force
+    # lane-hostile tiled layouts around the probe kernel (measured 1.6 ms of
+    # pure relayout copies at 8192x64x3xP); 2D planes fuse cleanly.
+    px = origins[:, 0:1] + directions[:, 0:1] * ts_p
+    py = origins[:, 1:2] + directions[:, 1:2] * ts_p
+    pz = origins[:, 2:3] + directions[:, 2:3] * ts_p
+    ext = aabb_max - aabb_min
+    ux = (px - aabb_min[0]) / ext[0]
+    uy = (py - aabb_min[1]) / ext[1]
+    uz = (pz - aabb_min[2]) / ext[2]
+    in_box = ((ux >= 0.0) & (ux < 1.0) & (uy >= 0.0) & (uy < 1.0) &
+              (uz >= 0.0) & (uz < 1.0))
     if probe_fn is not None:
-        occupied = probe_fn(positions)
+        occupied = probe_fn(px, py, pz)
     elif grid_binary.ndim == 2:
-        from nerficg_tpu.ops.xbar_gather import occupancy_probe
-        occupied = occupancy_probe(grid_binary, unit, grid_resolution)
+        from nerficg_tpu.ops.xbar_gather import occupancy_probe_xyz
+        occupied = occupancy_probe_xyz(grid_binary, ux, uy, uz,
+                                       grid_resolution)
     else:
-        occupied = occupancy_lookup(grid_binary, unit, grid_resolution)
-    block_any2 = (occupied & in_box).any(axis=2) & hit[:, None]  # (R, Bp)
+        occupied = occupancy_lookup(
+            grid_binary, jnp.stack([ux, uy, uz], axis=-1), grid_resolution)
+    block_any2 = (occupied & in_box).reshape(
+        num_rays, blocks_per_ray, probes_per_block).any(axis=2) \
+        & hit[:, None]                                         # (R, Bp)
 
     # --- block compaction (replaces the CUDA atomic counter) ----------------
     # One masked-morton sort compacts AND spatially orders the occupied
@@ -217,9 +232,12 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
     # 2-operand sort does the same work and hands the windowed encode its
     # morton stream for free). Ray order is recovered from the compacted
     # 32k set with a second, much smaller sort.
-    from nerficg_tpu.ops.hash_window import morton_sort_keys
-    unit_b = (positions[:, :, 0, :] - aabb_min) / (aabb_max - aabb_min)
-    bkeys = morton_sort_keys(jnp.clip(unit_b, 0.0, 1.0 - 1e-6))  # (R, Bp)
+    from nerficg_tpu.ops.hash_window import morton_keys_xyz
+    pstride = probes_per_block
+    bkeys = morton_keys_xyz(
+        jnp.clip(ux[:, ::pstride], 0.0, 1.0 - 1e-6),
+        jnp.clip(uy[:, ::pstride], 0.0, 1.0 - 1e-6),
+        jnp.clip(uz[:, ::pstride], 0.0, 1.0 - 1e-6))           # (R, Bp)
     inf = jnp.int32(1 << 30)
     key_flat = jnp.where(block_any2, bkeys, inf).reshape(-1)
     blk_iota = jnp.arange(nblocks, dtype=jnp.int32)
@@ -263,8 +281,6 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
         block_in_ray = safe_blk - ray_of_block * blocks_per_ray
         fetched = ray_table[ray_of_block]                      # (Bb, 8)
         b_tnear, b_rate = fetched[:, 0], fetched[:, 1]
-        b_origins = fetched[:, 2:5]                            # (Bb, 3)
-        b_dirs = fetched[:, 5:8]
         offs = jnp.arange(block, dtype=jnp.float32)[None, :]
         sample_step = block_in_ray[:, None].astype(jnp.float32) * block + offs
         sample_flat_id = (ray_of_block[:, None] * max_steps
@@ -278,26 +294,36 @@ def march_rays(origins: jnp.ndarray, directions: jnp.ndarray,
             out_ts = (b_tnear[:, None] +
                       (sample_step + s_jitter) * b_rate[:, None])
             out_dt = jnp.broadcast_to(b_rate[:, None], out_ts.shape)
-        out_pos = b_origins[:, None, :] + \
-            b_dirs[:, None, :] * out_ts[..., None]
+        # Per-axis sample planes (Bb, block); the (..., 3) stack happens once
+        # at the very end (see the candidate pass for the layout rationale).
+        spx = fetched[:, 2:3] + fetched[:, 5:6] * out_ts
+        spy = fetched[:, 3:4] + fetched[:, 6:7] * out_ts
+        spz = fetched[:, 4:5] + fetched[:, 7:8] * out_ts
         if probe:
             # Per-sample validity: recheck occupancy at the expanded samples
             # (cheap second probe) so partially-filled blocks are masked.
-            unit_s = (out_pos - aabb_min) / (aabb_max - aabb_min)
-            in_box_s = jnp.all((unit_s >= 0.0) & (unit_s < 1.0), axis=-1)
+            ext_e = aabb_max - aabb_min
+            sux = (spx - aabb_min[0]) / ext_e[0]
+            suy = (spy - aabb_min[1]) / ext_e[1]
+            suz = (spz - aabb_min[2]) / ext_e[2]
+            in_box_s = ((sux >= 0.0) & (sux < 1.0) & (suy >= 0.0) &
+                        (suy < 1.0) & (suz >= 0.0) & (suz < 1.0))
             if probe_fn is not None:
-                occ_s = probe_fn(out_pos)
+                occ_s = probe_fn(spx, spy, spz)
             elif grid_binary.ndim == 2:
-                from nerficg_tpu.ops.xbar_gather import occupancy_probe
-                occ_s = occupancy_probe(grid_binary, unit_s, grid_resolution)
+                from nerficg_tpu.ops.xbar_gather import occupancy_probe_xyz
+                occ_s = occupancy_probe_xyz(grid_binary, sux, suy, suz,
+                                            grid_resolution)
             else:
-                occ_s = occupancy_lookup(grid_binary, unit_s,
-                                         grid_resolution)
+                occ_s = occupancy_lookup(
+                    grid_binary, jnp.stack([sux, suy, suz], axis=-1),
+                    grid_resolution)
             valid_s = occ_s & in_box_s & blk_valid[:, None]    # (Bb, block)
         else:
             valid_s = jnp.broadcast_to(blk_valid[:, None],
                                        (safe_blk.shape[0], block))
-        out_dirs = jnp.broadcast_to(b_dirs[:, None, :],
+        out_pos = jnp.stack([spx, spy, spz], axis=-1)          # (Bb, blk, 3)
+        out_dirs = jnp.broadcast_to(fetched[:, None, 5:8],
                                     out_pos.shape).reshape(-1, 3)
         return (out_pos.reshape(-1, 3), out_dirs, out_ts.reshape(-1),
                 out_dt.reshape(-1), ray_of_block, valid_s)
@@ -546,23 +572,32 @@ def cascade_of_positions(positions: jnp.ndarray, center: jnp.ndarray,
     return jnp.clip(c.astype(jnp.int32), 0, cascades - 1)
 
 
-def occupancy_probe_cascaded(packed: jnp.ndarray, positions: jnp.ndarray,
-                             center: jnp.ndarray, max_half: float,
-                             resolution: int) -> jnp.ndarray:
-    """Cascaded bit-packed occupancy test of world positions.
+def occupancy_probe_cascaded_xyz(packed: jnp.ndarray, px: jnp.ndarray,
+                                 py: jnp.ndarray, pz: jnp.ndarray,
+                                 center: jnp.ndarray, max_half: float,
+                                 resolution: int) -> jnp.ndarray:
+    """Cascaded bit-packed occupancy test from per-axis world-coordinate
+    planes (the marcher's layout-friendly form; see occupancy_probe_xyz).
 
     packed: (C, words, 128) int32 from downsample_occupancy_cascaded.
     Each position is tested in its finest containing cascade."""
     from nerficg_tpu.ops.xbar_gather import xbar_gather
     cascades = packed.shape[0]
-    c = cascade_of_positions(positions, center, max_half, cascades)
+    rx = px - center[0]
+    ry = py - center[1]
+    rz = pz - center[2]
+    m = jnp.maximum(jnp.maximum(jnp.abs(rx), jnp.abs(ry)), jnp.abs(rz))
     base_half = max_half / (2 ** (cascades - 1))
-    half = base_half * jnp.exp2(c.astype(jnp.float32))
-    unit = (positions - center) / (2.0 * half[..., None]) + 0.5
-    coords = jnp.clip((unit * resolution).astype(jnp.int32),
-                      0, resolution - 1)
-    local = (coords[..., 0] * resolution + coords[..., 1]) * resolution + \
-        coords[..., 2]
+    c = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(m / base_half, 1.0))
+                          ).astype(jnp.int32), 0, cascades - 1)
+    inv = 1.0 / (2.0 * base_half * jnp.exp2(c.astype(jnp.float32)))
+    cx = jnp.clip(((rx * inv + 0.5) * resolution).astype(jnp.int32),
+                  0, resolution - 1)
+    cy = jnp.clip(((ry * inv + 0.5) * resolution).astype(jnp.int32),
+                  0, resolution - 1)
+    cz = jnp.clip(((rz * inv + 0.5) * resolution).astype(jnp.int32),
+                  0, resolution - 1)
+    local = (cx * resolution + cy) * resolution + cz
     shape = local.shape
     local = local.reshape(-1)
     # pack_bits pads each cascade's bitfield to a multiple of 32*128 bits, so
@@ -575,6 +610,15 @@ def occupancy_probe_cascaded(packed: jnp.ndarray, positions: jnp.ndarray,
     bits = jnp.bitwise_and(
         jnp.right_shift(words, jnp.bitwise_and(local, 31)), 1)
     return (bits == 1).reshape(shape)
+
+
+def occupancy_probe_cascaded(packed: jnp.ndarray, positions: jnp.ndarray,
+                             center: jnp.ndarray, max_half: float,
+                             resolution: int) -> jnp.ndarray:
+    """Cascaded bit-packed occupancy test of world positions (..., 3)."""
+    return occupancy_probe_cascaded_xyz(
+        packed, positions[..., 0], positions[..., 1], positions[..., 2],
+        center, max_half, resolution)
 
 
 def cascade_cell_positions(cells: jnp.ndarray, offsets: jnp.ndarray,

@@ -168,19 +168,33 @@ def pack_bits(flags: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(words, jnp.int32).reshape(-1, _LANES)
 
 
-def occupancy_probe(packed: jnp.ndarray, positions_unit: jnp.ndarray,
-                    resolution: int) -> jnp.ndarray:
-    """Bit-packed occupancy test of positions in [0,1]^3.
+def occupancy_probe_xyz(packed: jnp.ndarray, ux: jnp.ndarray,
+                        uy: jnp.ndarray, uz: jnp.ndarray,
+                        resolution: int) -> jnp.ndarray:
+    """Bit-packed occupancy test from per-axis unit coordinate PLANES.
 
-    packed: output of pack_bits over the flat (res^3,) occupancy flags.
-    Returns (...,) bool."""
-    coords = jnp.clip((positions_unit * resolution).astype(jnp.int32),
-                      0, resolution - 1)
-    flat = (coords[..., 0] * resolution + coords[..., 1]) * resolution + \
-        coords[..., 2]
+    Plane form is the fast path: trailing (..., 3) coordinate vectors force
+    lane-hostile tiled layouts around the gather kernel (measured 1.6 ms of
+    pure relayout copies at 8192x64x3 in the marcher), while same-shaped 2D
+    planes fuse cleanly."""
+    cx = jnp.clip((ux * resolution).astype(jnp.int32), 0, resolution - 1)
+    cy = jnp.clip((uy * resolution).astype(jnp.int32), 0, resolution - 1)
+    cz = jnp.clip((uz * resolution).astype(jnp.int32), 0, resolution - 1)
+    flat = (cx * resolution + cy) * resolution + cz
     shape = flat.shape
     flat = flat.reshape(-1)
     words = xbar_gather(packed, jnp.right_shift(flat, 5))
     bits = jnp.bitwise_and(
         jnp.right_shift(words, jnp.bitwise_and(flat, 31)), 1)
     return (bits == 1).reshape(shape)
+
+
+def occupancy_probe(packed: jnp.ndarray, positions_unit: jnp.ndarray,
+                    resolution: int) -> jnp.ndarray:
+    """Bit-packed occupancy test of positions in [0,1]^3.
+
+    packed: output of pack_bits over the flat (res^3,) occupancy flags.
+    Returns (...,) bool."""
+    return occupancy_probe_xyz(packed, positions_unit[..., 0],
+                               positions_unit[..., 1],
+                               positions_unit[..., 2], resolution)

@@ -45,13 +45,17 @@ class TestMortonMarch:
         first = m.positions_m.reshape(bb, blk, 3)[:, 0]
         unit = jnp.clip((first + 0.5), 0, 1 - 1e-6)
         keys = np.asarray(morton_sort_keys(unit))
-        # valid (non-padding) blocks come first and sorted; the compaction
-        # key is the morton of the first PROBE point (not the first jittered
-        # sample), so allow rare inversions at key ties/block boundaries
+        # The exact invariant: the compaction keys the marcher hands the
+        # windowed encode are non-decreasing by construction.
+        bkeys = np.asarray(m.block_keys_m)
+        assert (np.diff(bkeys) >= 0).all()
+        # Proxy check on sample positions: the compaction key is the morton
+        # of the first PROBE point (mid-block fractions, not the first
+        # jittered sample), so allow inversions at ties/block boundaries.
         n_valid = int(np.asarray(m.num_blocks))
         n_valid = min(n_valid, bb)
         frac = (np.diff(keys[:n_valid]) >= 0).mean()
-        assert frac > 0.9, frac
+        assert frac > 0.8, frac
 
     def test_default_march_has_no_morton_fields(self):
         m = _march(morton=False)

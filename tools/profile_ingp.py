@@ -280,6 +280,77 @@ def main():
                             jax.random.PRNGKey(1)),
               label='march + win-encode fwd+bwd stoch-2')
 
+    if which in ('all', 'bwdgap'):
+        # Bisect the render backward: where do the ~3 ms beyond the isolated
+        # kernel backwards (encode 0.4 + mlp 0.25 + composite 0.25 + permute
+        # 0.35) go?
+        from nerficg_tpu.ops.sample_sort import permute_block_channels
+
+        def march_once(o, d, r):
+            return march_rays(
+                o, d, model.aabb_min, model.aabb_max, grid,
+                renderer._march_res, max_steps=512, sample_budget=262144,
+                rng=r, block=8, exponential=False, morton=True)
+
+        seed_arr = jnp.asarray([[7]], jnp.int32)
+
+        def field_ctx(p, o, d, r):
+            m = march_once(o, d, r)
+            def loss(pp):
+                sigma, rgb = model.field(pp, m.positions_m, m.directions_m,
+                                         encode_seed=seed_arr,
+                                         anchor_keys=m.block_keys_m)
+                return jnp.sum(sigma) + jnp.sum(rgb)
+            return jax.grad(loss)(p)['hash_table']
+        timed(field_ctx, (model.params, origins, directions,
+                          jax.random.PRNGKey(1)),
+              label='march+field fwd+bwd (in ctx)')
+
+        def field_perm_ctx(p, o, d, r):
+            m = march_once(o, d, r)
+            def loss(pp):
+                sigma, rgb = model.field(pp, m.positions_m, m.directions_m,
+                                         encode_seed=seed_arr,
+                                         anchor_keys=m.block_keys_m)
+                ch = permute_block_channels(
+                    jnp.stack([sigma, rgb[:, 0], rgb[:, 1], rgb[:, 2]]),
+                    8, m.perm_to_ray, m.perm_to_morton)
+                return jnp.sum(ch)
+            return jax.grad(loss)(p)['hash_table']
+        timed(field_perm_ctx, (model.params, origins, directions,
+                               jax.random.PRNGKey(1)),
+              label='march+field+permute fwd+bwd')
+
+        def field_perm_mask_ctx(p, o, d, r):
+            m = march_once(o, d, r)
+            def loss(pp):
+                sigma, rgb = model.field(pp, m.positions_m, m.directions_m,
+                                         encode_seed=seed_arr,
+                                         anchor_keys=m.block_keys_m)
+                ch = permute_block_channels(
+                    jnp.stack([sigma, rgb[:, 0], rgb[:, 1], rgb[:, 2]]),
+                    8, m.perm_to_ray, m.perm_to_morton)
+                s = jnp.where(m.valid, ch[0], 0.0)
+                from nerficg_tpu.ops.occupancy import composite_packed
+                out = composite_packed(s, ch[1:4].T, m, n_rays,
+                                       background=jnp.zeros(3))
+                return jnp.sum(out['rgb'] ** 2)
+            return jax.grad(loss)(p)['hash_table']
+        timed(field_perm_mask_ctx, (model.params, origins, directions,
+                                    jax.random.PRNGKey(1)),
+              label='march+field+perm+composite bwd')
+
+        def render_exact(p, o, d, r):
+            def loss(pp):
+                out = renderer._render_rays_impl(
+                    pp, grid, o, d, r, jnp.zeros(3), randomized=False,
+                    num_rays=n_rays, samples_per_ray=32)
+                return jnp.sum(out['rgb'] ** 2)
+            return jax.grad(loss)(p)['hash_table']
+        timed(render_exact, (model.params, origins, directions,
+                             jax.random.PRNGKey(1)),
+              label='render fwd+bwd EXACT encode')
+
     if which in ('all', 'mlp'):
         dirs_s = jnp.broadcast_to(directions[:1], (n_samples, 3))
 
