@@ -72,16 +72,27 @@ def measure_gs_fps() -> float:
         return jnp.asarray(w2c), jnp.asarray(eye, jnp.float32)
 
     poses = [pose(2 * np.pi * i / 8) for i in range(8)]
-    out = fn(model.params, offset, poses[0][0], poses[0][1], background=bg)
-    jax.block_until_ready(out['rgb'])
+    # Chain every frame into one on-device scalar and fetch it ONCE: on the
+    # remote-tunnel backend, block_until_ready / unfetched executions are
+    # lazy, so per-frame syncs measure RTT and end-only syncs measure
+    # nothing. A data dependency through all frames is the only trustworthy
+    # wall-clock fence.
+    acc_fn = jax.jit(lambda a, rgb: a + rgb[0, 0, 0] + rgb[-1, -1, -1])
+    acc = jnp.zeros(())
+    for w2c, eye in poses:  # warm up all pose buffers + the accumulator
+        out = fn(model.params, offset, w2c, eye, background=bg)
+        acc = acc_fn(acc, out['rgb'])
+    float(acc)
 
-    frames = 32
+    frames = 64
+    acc = jnp.zeros(())
     start = time.perf_counter()
     for i in range(frames):
         w2c, eye = poses[i % 8]
         out = fn(model.params, offset, w2c, eye, background=bg)
-    jax.block_until_ready(out['rgb'])
-    elapsed = time.perf_counter() - start - 0.027
+        acc = acc_fn(acc, out['rgb'])
+    float(acc)
+    elapsed = time.perf_counter() - start
     return frames / max(elapsed, 1e-6)
 
 

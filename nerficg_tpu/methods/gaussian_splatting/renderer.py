@@ -89,7 +89,8 @@ class GaussianSplattingRenderer(BaseRenderer):
         key = (intrinsics, sh_degree, self.model.params['positions'].shape[0])
         if key not in self._render_cache:
             # Inference renders take the gradient-free packed-payload fast
-            # path (ops/gs_tiles_kernel.pack_attr_channels).
+            # path (ops/gs_rasterize._sort_entries_packed: one fused u32
+            # sort key + 5 packed payload words).
             self._render_cache[key] = jax.jit(partial(
                 self.render_impl, intrinsics=intrinsics,
                 sh_degree=sh_degree, packed_inference=True))

@@ -220,6 +220,75 @@ def rasterize_tiles(tile_ids: jnp.ndarray, tile_counts: jnp.ndarray,
 # =============================================================================
 
 
+MEANS_FP_SCALE = 32.0       # fixed-point steps per pixel (packed transport)
+MEANS_FP_BIAS = 1024.0      # window: tile-relative means in [-1024, +1024)
+
+
+def _sort_entries_packed(means2d, conics, opacities, colors, depths,
+                         tile_of_entry, ent_tx, ent_ty, num_tiles):
+    """Inference-only entry sort: 6 u32 operands, one fused key.
+
+    ent_tx/ent_ty/tile_of_entry: (D, N) lane-major per-entry tile data.
+    Returns (sorted_tile (E,) i32, sorted_ch (5, E) f32-bitcast payload
+    words, starts (T,) i32, counts (T,) i32). starts/counts come from a
+    vectorized binary search over the sorted tile ids instead of the MXU
+    histogram (the stream is already sorted — counting again is wasted
+    work).
+    """
+    tile_bits = int(num_tiles + 1).bit_length()
+    depth_bits = 32 - tile_bits
+
+    # Positive f32 bitcasts are order-preserving, so the top depth_bits of
+    # the depth's bit pattern give a monotone quantized depth for free.
+    dep_u = jax.lax.bitcast_convert_type(depths, jnp.uint32) >> (
+        32 - depth_bits)
+    key = ((tile_of_entry.astype(jnp.uint32) << depth_bits) |
+           dep_u[None, :].astype(jnp.uint32)).reshape(-1)       # (E,)
+
+    # Tile-relative fixed-point means: each entry stores its mean relative
+    # to ITS tile's pixel origin, so u16 carries 1/32-px precision at any
+    # image size (absolute bf16 means would quantize to ~8 px at 1080p).
+    span = MEANS_FP_BIAS * MEANS_FP_SCALE
+    qx = jnp.clip(jnp.round(
+        (means2d[None, :, 0] - ent_tx.astype(jnp.float32) * TILE) *
+        MEANS_FP_SCALE + span), 0.0, 65535.0).astype(jnp.uint32)
+    qy = jnp.clip(jnp.round(
+        (means2d[None, :, 1] - ent_ty.astype(jnp.float32) * TILE) *
+        MEANS_FP_SCALE + span), 0.0, 65535.0).astype(jnp.uint32)
+    mxy = ((qx << 16) | qy).reshape(-1)                         # (E,) u32
+
+    def pair(a, b):
+        hi = jax.lax.bitcast_convert_type(
+            a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(
+            b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        return (hi << 16) | lo
+
+    dup = tile_of_entry.shape[0]
+
+    def dup_flat(col):
+        return jnp.broadcast_to(col[None, :],
+                                (dup, col.shape[0])).reshape(-1)
+
+    p0 = dup_flat(pair(conics[:, 0], conics[:, 1]))
+    p1 = dup_flat(pair(conics[:, 2], opacities))
+    p2 = dup_flat(pair(colors[:, 0], colors[:, 1]))
+    p3 = dup_flat(pair(colors[:, 2], depths))
+
+    ops = jax.lax.sort((key, mxy, p0, p1, p2, p3), num_keys=1)
+    sorted_tile = (ops[0] >> depth_bits).astype(jnp.int32)
+    sorted_ch = jnp.stack([
+        jax.lax.bitcast_convert_type(c, jnp.float32) for c in ops[1:]])
+
+    # Segment starts/counts by binary search over the sorted tile ids.
+    edges = jnp.searchsorted(sorted_tile,
+                             jnp.arange(num_tiles + 1, dtype=jnp.int32),
+                             side='left')
+    starts = edges[:-1].astype(jnp.int32)
+    counts = (edges[1:] - edges[:-1]).astype(jnp.int32)
+    return sorted_tile, sorted_ch, starts, counts
+
+
 @jax.custom_vjp
 def _permute_entries(tile_key: jnp.ndarray, depth_key: jnp.ndarray,
                      channels: jnp.ndarray):
@@ -364,48 +433,73 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
     # fixed side x side offset grid this covers ANY rect of <= D cells
     # exactly (2x3 and 3x2 both fit in D=6), so the duplication factor can
     # be smaller at equal coverage.
+    # Layout note: all per-entry arrays are (D, N) — N on the minor (lane)
+    # axis, so every VPU op runs 128 lanes wide. (N, D=6) would light 6 of
+    # 128 lanes. The entry order feeding the sort is irrelevant.
     rect_w = t_max_x - t_min_x + 1                              # (N,)
     j = jnp.arange(max_tiles_per_gaussian, dtype=jnp.int32)     # (D,)
-    tx = t_min_x[:, None] + j[None, :] % rect_w[:, None]
-    ty = t_min_y[:, None] + j[None, :] // rect_w[:, None]
-    dup_valid = (tx <= t_max_x[:, None]) & (ty <= t_max_y[:, None]) & \
-        visible[:, None] & (rad_i[:, None] > 0)
+    tx = t_min_x[None, :] + j[:, None] % rect_w[None, :]
+    ty = t_min_y[None, :] + j[:, None] // rect_w[None, :]
+    dup_valid = (tx <= t_max_x[None, :]) & (ty <= t_max_y[None, :]) & \
+        visible[None, :] & (rad_i[None, :] > 0)
+    # Exact circle-vs-tile cull: the bbox covers the 3-sigma circle, so its
+    # corner tiles the circle misses contribute nothing the radius
+    # truncation would keep. Dropping them shrinks per-tile segments ~25%
+    # (the CUDA rasterizers' tile intersection test, done branch-free).
+    cpx = jnp.clip(m2d_i[None, :, 0], tx.astype(jnp.float32) * TILE,
+                   tx.astype(jnp.float32) * TILE + TILE)
+    cpy = jnp.clip(m2d_i[None, :, 1], ty.astype(jnp.float32) * TILE,
+                   ty.astype(jnp.float32) * TILE + TILE)
+    dcx = cpx - m2d_i[None, :, 0]
+    dcy = cpy - m2d_i[None, :, 1]
+    dup_valid &= (dcx * dcx + dcy * dcy) <= (rad_i * rad_i)[None, :]
     tile_of_entry = jnp.where(dup_valid, ty * tiles_x + tx, num_tiles)
 
-    # Entry channels: the attribute payload duplicated per covered tile.
-    attrs = jnp.stack([
-        means2d[:, 0], means2d[:, 1],
-        conics[:, 0], conics[:, 1], conics[:, 2],
-        opacities, colors[:, 0], colors[:, 1], colors[:, 2], depths,
-    ], axis=0)                                                  # (C=10, N)
     if packed_inference:
-        # Gradient-free fast path: bf16-pair the non-mean channels so the
-        # payload sort carries 6 operands instead of 10 (the sort is the
-        # dominant inference cost; see PERF_NOTES.md).
-        from nerficg_tpu.ops.gs_tiles_kernel import pack_attr_channels
-        attrs = pack_attr_channels(attrs)
-    n_ch = attrs.shape[0]
-    dup = tile_of_entry.shape[1]
-    channels = jnp.broadcast_to(attrs[:, :, None],
-                                attrs.shape + (dup,)).reshape(n_ch, -1)
-    entry_tile = tile_of_entry.reshape(-1)
-    entry_depth = jnp.broadcast_to(dep_i[:, None],
-                                   tile_of_entry.shape).reshape(-1)
+        # Gradient-free fast path: ONE fused u32 sort key (tile high bits |
+        # truncated positive-f32 depth bits, bitcast order == value order)
+        # and 5 packed payload words — 6 sort operands instead of 9 (keys
+        # included; the sort is the dominant inference cost, PERF_NOTES.md):
+        #   word 0: tile-RELATIVE means as a u16.u16 fixed-point pair
+        #           (1/32 px steps over a +-1024 px window — means need
+        #           sub-pixel precision, which bf16 cannot carry at 1080p)
+        #   words 1-4: bf16 pairs ca|cb, cc|op, r|g, b|d.
+        sorted_tile, sorted_ch, starts, counts = _sort_entries_packed(
+            means2d, conics, opacities, colors, depths,
+            tile_of_entry, tx, ty, num_tiles)
+        n_ch = sorted_ch.shape[0]
+        e = sorted_tile.shape[0]
+    else:
+        # Entry channels: the attribute payload duplicated per covered tile.
+        attrs = jnp.stack([
+            means2d[:, 0], means2d[:, 1],
+            conics[:, 0], conics[:, 1], conics[:, 2],
+            opacities, colors[:, 0], colors[:, 1], colors[:, 2], depths,
+        ], axis=0)                                              # (C=10, N)
+        n_ch = attrs.shape[0]
+        dup = tile_of_entry.shape[0]
+        channels = jnp.broadcast_to(
+            attrs[:, None, :],
+            (n_ch, dup, attrs.shape[1])).reshape(n_ch, -1)
+        entry_tile = tile_of_entry.reshape(-1)
+        entry_depth = jnp.broadcast_to(dep_i[None, :],
+                                       tile_of_entry.shape).reshape(-1)
 
-    sorted_tile_f, sorted_ch = _permute_entries(
-        entry_tile.astype(jnp.float32), entry_depth, channels)
-    sorted_tile = sorted_tile_f.astype(jnp.int32)
-    e = entry_tile.shape[0]
+        sorted_tile_f, sorted_ch = _permute_entries(
+            entry_tile.astype(jnp.float32), entry_depth, channels)
+        sorted_tile = sorted_tile_f.astype(jnp.int32)
+        e = entry_tile.shape[0]
 
-    # Per-tile counts via the MXU histogram; starts via exclusive cumsum.
-    from nerficg_tpu.ops.hash_mxu import mxu_scatter_add
-    seg_pad = -(-(num_tiles + 1) // 128) * 128
-    ones = jnp.ones((1, 1, e), jnp.float32)
-    counts = mxu_scatter_add(sorted_tile[None], ones, seg_pad // 128,
-                             compute_dtype=jnp.float32)
-    counts = counts.reshape(seg_pad)[:num_tiles].astype(jnp.int32)
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(counts)[:-1]])
+        # Per-tile counts via the MXU histogram; starts via exclusive
+        # cumsum.
+        from nerficg_tpu.ops.hash_mxu import mxu_scatter_add
+        seg_pad = -(-(num_tiles + 1) // 128) * 128
+        ones = jnp.ones((1, 1, e), jnp.float32)
+        counts = mxu_scatter_add(sorted_tile[None], ones, seg_pad // 128,
+                                 compute_dtype=jnp.float32)
+        counts = counts.reshape(seg_pad)[:num_tiles].astype(jnp.int32)
+        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(counts)[:-1]])
 
     # Fused slice+composite straight from the sorted stream (the slot
     # tensors never materialize; see ops/gs_tiles_kernel.composite_sorted).

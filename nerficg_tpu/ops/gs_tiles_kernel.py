@@ -54,17 +54,30 @@ def _read_attrs(chunk_t, packed: bool):
     """Attr columns from a stream chunk.
 
     packed=False: (CH, >=10) f32 rows [mx,my,ca,cb,cc,op,r,g,b,d,...].
-    packed=True:  (CH, 8) f32 rows [mx, my, ca|cb, cc|op, r|g, b|d, 0, 0]
-    with the pair channels holding two bf16 values per f32 lane (bf16 is
-    the top half of f32, so unpacking is bit masking) — the inference-only
-    layout that keeps the (tile, depth) payload sort 6 channels wide.
+    packed=True:  (CH, 8) f32 rows [mx|my, ca|cb, cc|op, r|g, b|d, 0, 0, 0]
+    where word 0 is a u16.u16 fixed-point pair of TILE-RELATIVE means
+    (1/32-px steps, +-1024 px window; see gs_rasterize.MEANS_FP_SCALE) and
+    the other pair channels hold two bf16 values per f32 lane (bf16 is the
+    top half of f32, so unpacking is bit masking) — the inference-only
+    layout that keeps the (tile, depth) payload sort 6 operands wide
+    INCLUDING its fused key. In packed mode the returned means are
+    tile-relative: composite against tile-local pixel grids.
     Returns (mx, my, ca, cb, cc, op, color_t (CH,3), depth (CH,1)).
     """
-    mx = chunk_t[:, 0:1]
-    my = chunk_t[:, 1:2]
     if not packed:
+        mx = chunk_t[:, 0:1]
+        my = chunk_t[:, 1:2]
         return (mx, my, chunk_t[:, 2:3], chunk_t[:, 3:4], chunk_t[:, 4:5],
                 chunk_t[:, 5:6], chunk_t[:, 6:9], chunk_t[:, 9:10])
+
+    from nerficg_tpu.ops.gs_rasterize import MEANS_FP_BIAS, MEANS_FP_SCALE
+    # Mosaic has no u32->f32 cast; both u16 halves fit in int32 exactly.
+    mword = pltpu.bitcast(chunk_t[:, 0:1], jnp.uint32)
+    mx = (mword >> 16).astype(jnp.int32).astype(jnp.float32) * \
+        (1.0 / MEANS_FP_SCALE) - MEANS_FP_BIAS
+    my = jnp.bitwise_and(mword, jnp.uint32(0xFFFF)).astype(
+        jnp.int32).astype(jnp.float32) * (1.0 / MEANS_FP_SCALE) - \
+        MEANS_FP_BIAS
 
     def unpack(col):
         v = pltpu.bitcast(col, jnp.uint32)
@@ -73,30 +86,11 @@ def _read_attrs(chunk_t, packed: bool):
         lo = pltpu.bitcast(jnp.left_shift(v, 16), jnp.float32)
         return hi, lo
 
-    ca, cb = unpack(chunk_t[:, 2:3])
-    cc, op = unpack(chunk_t[:, 3:4])
-    r, g = unpack(chunk_t[:, 4:5])
-    b, d = unpack(chunk_t[:, 5:6])
+    ca, cb = unpack(chunk_t[:, 1:2])
+    cc, op = unpack(chunk_t[:, 2:3])
+    r, g = unpack(chunk_t[:, 3:4])
+    b, d = unpack(chunk_t[:, 4:5])
     return mx, my, ca, cb, cc, op, jnp.concatenate([r, g, b], axis=1), d
-
-
-def pack_attr_channels(channels: jnp.ndarray) -> jnp.ndarray:
-    """(10, E) f32 attr channels -> (6, E) f32 with bf16-paired lanes
-    (inference transport; see _read_attrs). Means stay f32 — bf16 pixel
-    coordinates would quantize to ~8 px at 1080p."""
-    def pair(a, b):
-        hi = jax.lax.bitcast_convert_type(
-            a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-        lo = jax.lax.bitcast_convert_type(
-            b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
-        return jax.lax.bitcast_convert_type((hi << 16) | lo, jnp.float32)
-
-    return jnp.stack([
-        channels[0], channels[1],
-        pair(channels[2], channels[3]),
-        pair(channels[4], channels[5]),
-        pair(channels[6], channels[7]),
-        pair(channels[8], channels[9])], axis=0)
 
 
 def _pixel_grids(origin_x, origin_y):
@@ -398,8 +392,13 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
-    ox, oy = _origin(t, tiles_x)
-    px, py = _pixel_grids(ox, oy)
+    if packed:
+        # Packed streams carry tile-relative means: composite in tile-local
+        # pixel coordinates (origin-free, see _read_attrs).
+        px, py = _pixel_grids(jnp.float32(0.0), jnp.float32(0.0))
+    else:
+        ox, oy = _origin(t, tiles_x)
+        px, py = _pixel_grids(ox, oy)
     tril = tril_ref[:]
     local = start % k
     aligned = (local // 8) * 8
@@ -411,17 +410,36 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     n_chunks = (eff + CH - 1) // CH
 
     def body(c, carry):
-        log_acc, rgb, acc, dep = carry
+        t_acc, rgb, acc, dep = carry
         off = aligned + c * CH
         chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]
         alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
                                             c * CH - skip, px, py,
                                             packed=packed)
-        log_t = jnp.log1p(-alpha)
-        excl = log_acc + jax.lax.dot_general(
-            tril, log_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        w = jnp.exp(excl) * alpha
+        if packed:
+            # Inference: skip log space entirely. The exclusive
+            # transmittance is a prefix PRODUCT of (1 - alpha) — compute
+            # it with a Hillis-Steele doubling scan (7 shift+multiply
+            # passes over (CH, P)); the log1p + exp pair and the 128x128
+            # prefix matmul all disappear. Transcendentals dominate this
+            # kernel's VPU time, so dropping 2 of 3 is the win
+            # (PERF_NOTES.md).
+            x = jnp.concatenate([jnp.ones((1, P), jnp.float32),
+                                 (1.0 - alpha)[:CH - 1]], axis=0)
+            s = 1
+            while s < CH:
+                x = x * jnp.concatenate(
+                    [jnp.ones((s, P), jnp.float32), x[:CH - s]], axis=0)
+                s *= 2
+            w = (t_acc * x) * alpha                      # (CH, P)
+            t_acc = t_acc * x[CH - 1:CH] * (1.0 - alpha[CH - 1:CH])
+        else:
+            log_t = jnp.log1p(-alpha)
+            excl = t_acc + jax.lax.dot_general(
+                tril, log_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            w = jnp.exp(excl) * alpha
+            t_acc = t_acc + jnp.sum(log_t, axis=0, keepdims=True)
         _, _, _, _, _, _, color_t, depth_c = _read_attrs(chunk_t, packed)
         rgb = rgb + jax.lax.dot_general(
             color_t, w, (((0,), (0,)), ((), ())),
@@ -430,13 +448,14 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
             depth_c, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = acc + jnp.sum(w, axis=0, keepdims=True)
-        log_acc = log_acc + jnp.sum(log_t, axis=0, keepdims=True)
-        return log_acc, rgb, acc, dep
+        return t_acc, rgb, acc, dep
 
-    zeros1 = jnp.zeros((1, P), jnp.float32)
+    # t_acc carries log-transmittance (unpacked) or transmittance (packed).
+    init_acc = jnp.full((1, P), 1.0 if packed else 0.0, jnp.float32)
     _, rgb, acc, dep = jax.lax.fori_loop(
         0, n_chunks, body,
-        (zeros1, jnp.zeros((3, P), jnp.float32), zeros1, zeros1))
+        (init_acc, jnp.zeros((3, P), jnp.float32),
+         jnp.zeros((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)))
     out_ref[0, 0:3] = rgb
     out_ref[0, 3:4] = acc
     out_ref[0, 4:5] = dep
@@ -614,7 +633,10 @@ def composite_sorted(sorted_mat: jnp.ndarray, starts: jnp.ndarray,
 
 
 def _unpack_stream_jnp(mat8: jnp.ndarray) -> jnp.ndarray:
-    """(E, 8) packed stream -> (E, 10) f32 (CPU fallback of _read_attrs)."""
+    """(E, 8) packed stream -> (E, 10) f32 with TILE-RELATIVE means
+    (CPU fallback of _read_attrs; see that docstring for the layout)."""
+    from nerficg_tpu.ops.gs_rasterize import MEANS_FP_BIAS, MEANS_FP_SCALE
+
     def unpack(col):
         v = jax.lax.bitcast_convert_type(col, jnp.uint32)
         hi = jax.lax.bitcast_convert_type(
@@ -622,22 +644,32 @@ def _unpack_stream_jnp(mat8: jnp.ndarray) -> jnp.ndarray:
         lo = jax.lax.bitcast_convert_type(v << 16, jnp.float32)
         return hi, lo
 
-    ca, cb = unpack(mat8[:, 2])
-    cc, op = unpack(mat8[:, 3])
-    r, g = unpack(mat8[:, 4])
-    b, d = unpack(mat8[:, 5])
-    return jnp.stack([mat8[:, 0], mat8[:, 1], ca, cb, cc, op, r, g, b, d],
-                     axis=1)
+    mword = jax.lax.bitcast_convert_type(mat8[:, 0], jnp.uint32)
+    mx = (mword >> 16).astype(jnp.float32) / MEANS_FP_SCALE - MEANS_FP_BIAS
+    my = (mword & jnp.uint32(0xFFFF)).astype(jnp.float32) / \
+        MEANS_FP_SCALE - MEANS_FP_BIAS
+    ca, cb = unpack(mat8[:, 1])
+    cc, op = unpack(mat8[:, 2])
+    r, g = unpack(mat8[:, 3])
+    b, d = unpack(mat8[:, 4])
+    return jnp.stack([mx, my, ca, cb, cc, op, r, g, b, d], axis=1)
 
 
 def _cs_jnp(sorted_mat, starts, counts, tiles_x, num_tiles, k):
-    if sorted_mat.shape[1] == 8:
+    packed = sorted_mat.shape[1] == 8
+    if packed:
         sorted_mat = _unpack_stream_jnp(sorted_mat)
     slots = jax.vmap(
         lambda s: jax.lax.dynamic_slice(
             sorted_mat, (s, 0), (k, sorted_mat.shape[1])))(starts)
-    return _composite_jnp(slots[..., :10], jnp.minimum(counts, k),
-                          _tile_origins(num_tiles, tiles_x))
+    origins = _tile_origins(num_tiles, tiles_x)
+    slots = slots[..., :10]
+    if packed:
+        # Packed slots carry tile-relative means: absolutize per tile
+        # (every valid row of slot t belongs to tile t).
+        slots = slots.at[..., 0].add(origins[:, None, 0])
+        slots = slots.at[..., 1].add(origins[:, None, 1])
+    return _composite_jnp(slots, jnp.minimum(counts, k), origins)
 
 
 def _cs_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
