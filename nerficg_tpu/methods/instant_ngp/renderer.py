@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerficg_tpu.core.config import Configurable
 from nerficg_tpu.data.types import RayBatch, View
@@ -35,9 +36,13 @@ __all__ = ['InstantNGPRenderer']
 @Configurable.configure(
     MAX_SAMPLES=512,            # marching steps per ray (reference: 1024)
     MARCH_RESOLUTION=64,        # skip-grid probed by the marcher; bit-packed
-                                # crossbar probes (ops/xbar_gather.py) make 64^3
-                                # affordable (~0.2 VPU-cycles/probe), halving
-                                # the conservative dilation of a 32^3 grid
+                                # crossbar probes (ops/xbar_gather.py) make
+                                # 64^3 affordable (~0.2 VPU-cycles/probe).
+                                # NOT the density grid's 128^3: the crossbar
+                                # word scan is linear in bitfield extent, so
+                                # 128^3 costs 8x per probe — measured NET
+                                # -37% train throughput despite the tighter
+                                # occupied band (PERF_NOTES.md round 3)
     AVG_SAMPLES_PER_RAY=32,     # training compaction budget = rays * this
     INFERENCE_SAMPLES_PER_RAY=128,  # larger budget for full-image rendering
     MARCH_BLOCK=8,              # compaction granularity (steps per block):
@@ -79,6 +84,12 @@ class InstantNGPRenderer(BaseRenderer):
         # Skip-grid resolution cannot exceed the density grid's.
         self._march_res = min(int(self.MARCH_RESOLUTION),
                               int(self.model.GRID_RESOLUTION))
+        # Candidate probes per block, spaced so no cell crossing wider than
+        # one probe gap is missed: gap (in steps) must not exceed the step
+        # count a skip-grid cell spans (max_steps / (res * sqrt(3))).
+        self._probes_per_block = max(2, int(np.ceil(
+            int(self.MARCH_BLOCK) * self._march_res * (3.0 ** 0.5) /
+            float(self.MAX_SAMPLES))))
         self._cascades = int(getattr(self.model, 'cascades', 1))
         exp = self.EXPONENTIAL_STEPS
         self._exponential = bool(self._cascades > 1 if exp is None else exp)
@@ -131,7 +142,7 @@ class InstantNGPRenderer(BaseRenderer):
             max_steps=int(self.MAX_SAMPLES), sample_budget=budget,
             rng=rng if randomized else None, block=int(self.MARCH_BLOCK),
             exponential=self._exponential, probe_fn=probe_fn,
-            morton=use_window)
+            morton=use_window, probes_per_block=self._probes_per_block)
         # Training steps (randomized) use the stochastic single-corner hash
         # encode; inference uses the exact 8-corner path (encode_seed=None).
         encode_seed = jax.random.randint(

@@ -10,8 +10,17 @@ import os
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+# Liveness, not speed: each virtual device otherwise gets its own
+# many-thread Eigen pool (8 x ncpu threads). Under host contention one
+# device's pool can be descheduled past XLA:CPU's 40 s collective-rendezvous
+# deadline, and rendezvous.cc CHECK-aborts the whole process ("Fatal Python
+# error: Aborted" with an all-reduce rendezvous stack) — the round-2/3
+# nondeterministic test-suite crash. Single-threaded Eigen keeps one runnable
+# thread per device, which the scheduler can always make progress on.
+if '--xla_cpu_multi_thread_eigen' not in flags:
+    flags = (flags + ' --xla_cpu_multi_thread_eigen=false').strip()
+os.environ['XLA_FLAGS'] = flags
 
 import jax  # noqa: E402
 

@@ -11,7 +11,8 @@ from nerficg_tpu.core.registry import Methods
 
 def _make_trainer(**model_overrides):
     config = ConfigNode({
-        'GLOBAL': {'METHOD_TYPE': 'DNeRF', 'RANDOM_SEED': 0},
+        'GLOBAL': {'METHOD_TYPE': 'DNeRF', 'RANDOM_SEED': 0,
+                   'NUM_DEVICES': 1},
         'MODEL': {'GRID_RESOLUTION': 16, 'LOG2_HASHMAP_SIZE': 10,
                   'NUM_LEVELS': 4, 'DEFORM_WIDTH': 32, 'DEFORM_LAYERS': 2,
                   **model_overrides},

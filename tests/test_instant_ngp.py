@@ -279,7 +279,8 @@ class TestInstantNGPEndToEnd:
         from nerficg_tpu.core.config import ConfigNode
         return ConfigNode({
             'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'DATASET_TYPE': 'NeRF',
-                       'RANDOM_SEED': 0, 'LOG_LEVEL': 'SILENT'},
+                       'RANDOM_SEED': 0, 'LOG_LEVEL': 'SILENT',
+                       'NUM_DEVICES': 1},
             'MODEL': {'NUM_LEVELS': 8, 'LOG2_HASHMAP_SIZE': 14,
                       'BASE_RESOLUTION': 4, 'TARGET_RESOLUTION': 64,
                       'DENSITY_MLP_WIDTH': 32, 'COLOR_MLP_WIDTH': 32,
