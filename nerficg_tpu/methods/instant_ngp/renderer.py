@@ -175,14 +175,15 @@ class InstantNGPRenderer(BaseRenderer):
                 jnp.stack([sigma_m, rgb_m[:, 0], rgb_m[:, 1], rgb_m[:, 2]]),
                 int(self.MARCH_BLOCK), march.perm_to_ray,
                 march.perm_to_morton)
-            sigma, rgb = ch[0], ch[1:4].T
+            sigma, rgb = ch[0], ch[1:4]      # rgb stays channel-major (3, B)
         else:
             sigma, rgb = self._field(params, march.positions,
                                      march.directions, encode_seed,
                                      sample_times)
         sigma = jnp.where(march.valid, sigma, 0.0)
         out = composite_packed(sigma, rgb, march, n, background=background,
-                               early_stop_eps=float(self.EARLY_STOP_EPS))
+                               early_stop_eps=float(self.EARLY_STOP_EPS),
+                               block=int(self.MARCH_BLOCK))
         out['num_samples'] = march.num_valid
         out['num_blocks'] = march.num_blocks
         out['ray_mask'] = march.ray_complete[:, None].astype(jnp.float32)

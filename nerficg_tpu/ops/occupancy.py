@@ -392,7 +392,8 @@ def _ray_aabb(origins, directions, aabb_min, aabb_max, min_near):
 def composite_packed(densities: jnp.ndarray, rgbs: jnp.ndarray,
                      march: MarchResults, num_rays: int,
                      background: Optional[jnp.ndarray] = None,
-                     early_stop_eps: float = 1e-4) -> dict:
+                     early_stop_eps: float = 1e-4,
+                     block: int = 8) -> dict:
     """Front-to-back compositing on the compacted layout (replaces CUDA N6/N7).
 
     densities: (B,) field densities at the compacted samples.
@@ -401,31 +402,67 @@ def composite_packed(densities: jnp.ndarray, rgbs: jnp.ndarray,
     flat order). Exclusive transmittance per sample:
         T_i = exp(sum_{j<i, same ray} log(1 - alpha_j))
     computed as global-cumsum minus per-segment offset.
+
+    ``block``: the marcher's compaction block size. The MXU segment
+    scatter/gathers cost ~linear in the number of scattered elements, and a
+    block is uniform in ray id by construction (padding blocks are remapped
+    wholly; in-block invalid samples keep their ray id with alpha==0), so all
+    segment reductions run at BLOCK granularity — ``block``x cheaper — with
+    the within-block prefix handled by a log2(block)-step doubling scan.
+    Pass ``block=1`` for arbitrary (non-block-compacted) sample streams.
+
+    ``rgbs`` may be sample-major (B, 3) or channel-major (3, B); the
+    channel-major form is preferred on TPU (a (B, 3) array lights 3 of 128
+    lanes and every slice/transpose of it relayouts) and is what the
+    renderer's permuted channel stack naturally produces.
     """
     from nerficg_tpu.ops.hash_mxu import gather_d, scatter_add_d
+
+    b_total = densities.shape[0]
+    if block > 1 and b_total % block != 0:
+        block = 1
+    if rgbs.shape[0] == 3 and rgbs.shape[-1] == b_total and b_total != 3:
+        rgb_r, rgb_g, rgb_b = rgbs[0], rgbs[1], rgbs[2]
+    else:
+        rgb_r, rgb_g, rgb_b = rgbs[:, 0], rgbs[:, 1], rgbs[:, 2]
 
     alpha = 1.0 - jnp.exp(-densities * march.deltas)
     alpha = jnp.where(march.valid, alpha, 0.0)
     log_t = jnp.log1p(-jnp.clip(alpha, 0.0, 1.0 - 1e-7))        # (B,) <= 0
-    csum = jnp.cumsum(log_t)                                     # inclusive
-    excl = csum - log_t                                          # exclusive global
 
-    # All segment reductions go through the MXU factored scatter/gather
-    # (ops/hash_mxu.py) — XLA's native segment_sum/scatter is serial on TPU.
     # Segments padded to a lane multiple; padding rays land in segment
     # ``num_rays`` and are dropped.
     seg_pad = ((num_rays + 1 + 127) // 128) * 128
     seg_rows = seg_pad // 128
-    ray_ids = march.ray_ids[None]                                # (1, B)
 
-    # Per-ray offset = exclusive prefix at the ray's first sample. The first
-    # sample of each contiguous segment is where ray_id changes; summing
-    # excl * is_first per segment extracts exactly that value.
-    prev_ids = jnp.concatenate(
-        [jnp.full((1,), -1, march.ray_ids.dtype), march.ray_ids[:-1]])
-    is_first = (march.ray_ids != prev_ids).astype(excl.dtype)
-    offsets = scatter_add_d(ray_ids, (excl * is_first)[None, None], seg_rows)
-    offset_per_sample = gather_d(ray_ids, offsets)[0, 0]         # (B,)
+    if block > 1:
+        nb = b_total // block
+        lt2 = log_t.reshape(nb, block)
+        csum_in = jnp.cumsum(lt2, axis=1)                        # within-block
+        block_total = csum_in[:, -1]                             # (Bb,)
+        block_csum = jnp.cumsum(block_total)
+        block_excl = block_csum - block_total                    # (Bb,)
+        excl = (block_excl[:, None] + csum_in - lt2).reshape(-1)
+        ray_of_block = march.ray_ids.reshape(nb, block)[:, 0]
+        seg_ids = ray_of_block[None]                             # (1, Bb)
+        prev_ids = jnp.concatenate(
+            [jnp.full((1,), -1, ray_of_block.dtype), ray_of_block[:-1]])
+        is_first = (ray_of_block != prev_ids).astype(excl.dtype)
+        offsets = scatter_add_d(seg_ids, (block_excl * is_first)[None, None],
+                                seg_rows)
+        offset_b = gather_d(seg_ids, offsets)[0, 0]              # (Bb,)
+        offset_per_sample = jnp.repeat(offset_b, block)
+    else:
+        csum = jnp.cumsum(log_t)                                 # inclusive
+        excl = csum - log_t                                      # exclusive
+        seg_ids = march.ray_ids[None]                            # (1, B)
+        prev_ids = jnp.concatenate(
+            [jnp.full((1,), -1, march.ray_ids.dtype), march.ray_ids[:-1]])
+        is_first = (march.ray_ids != prev_ids).astype(excl.dtype)
+        offsets = scatter_add_d(seg_ids, (excl * is_first)[None, None],
+                                seg_rows)
+        offset_per_sample = gather_d(seg_ids, offsets)[0, 0]     # (B,)
+
     # The exponent is <= 0 for real samples; padding samples (segment
     # num_rays) can have garbage offsets making it hugely positive, and the
     # resulting inf poisons the VJP even though the forward masks it
@@ -438,11 +475,14 @@ def composite_packed(densities: jnp.ndarray, rgbs: jnp.ndarray,
         # CUDA early termination at T <= 1e-4 — here a mask, not a branch).
         weights = jnp.where(trans > early_stop_eps, weights, 0.0)
 
-    # One 5-channel segment sum: [rgb, acc, weighted depth].
-    channels = jnp.stack([weights * rgbs[:, 0], weights * rgbs[:, 1],
-                          weights * rgbs[:, 2], weights,
-                          weights * march.ts], axis=0)[None]     # (1, 5, B)
-    sums = scatter_add_d(ray_ids, channels, seg_rows)            # (1, 5, r, 128)
+    # One 5-channel segment sum: [rgb, acc, weighted depth] — partial-summed
+    # within each block first, then scattered at block granularity.
+    channels = jnp.stack([weights * rgb_r, weights * rgb_g,
+                          weights * rgb_b, weights,
+                          weights * march.ts], axis=0)           # (5, B)
+    if block > 1:
+        channels = channels.reshape(5, b_total // block, block).sum(-1)
+    sums = scatter_add_d(seg_ids, channels[None], seg_rows)     # (1, 5, r, 128)
     sums = sums.reshape(5, seg_pad)[:, :num_rays]
     rgb = sums[:3].T                                             # (R, 3)
     acc = sums[3][:, None]

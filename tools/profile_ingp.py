@@ -332,8 +332,8 @@ def main():
                     8, m.perm_to_ray, m.perm_to_morton)
                 s = jnp.where(m.valid, ch[0], 0.0)
                 from nerficg_tpu.ops.occupancy import composite_packed
-                out = composite_packed(s, ch[1:4].T, m, n_rays,
-                                       background=jnp.zeros(3))
+                out = composite_packed(s, ch[1:4], m, n_rays,
+                                       background=jnp.zeros(3), block=8)
                 return jnp.sum(out['rgb'] ** 2)
             return jax.grad(loss)(p)['hash_table']
         timed(field_perm_mask_ctx, (model.params, origins, directions,
