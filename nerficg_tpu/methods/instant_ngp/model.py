@@ -82,13 +82,16 @@ def _mlp_featT(ws, x_t, compute_dtype=jnp.bfloat16):
     # the lane crossbar has no fast TPU primitive (PERF_NOTES.md), so larger
     # tables pay linearly in the S-loop/one-hot row count.
     LOG2_HASHMAP_SIZE=14,
+    # 'cell'   = gen-4 cell-packed windowed encode (ops/hash_cell.py): one
+    #   hash/window address per sample, all 8 corners latched from one
+    #   (8, 128) row block, EXACT 8-corner interpolation always, and scan
+    #   cost flat in table capacity up to the reference's 2^19;
     # 'window' = gen-3 windowed sorted-stream encode (ops/hash_window.py;
-    #   the renderer feeds it morton-sorted samples — scan cost follows the
-    #   rows a sub-block touches, not the table extent, and tables can grow
-    #   to the reference's 2^19);
+    #   vertex-shared corners — use for parity checks against tcnn's
+    #   parameterization; scan cost grows ~sqrt-ish with capacity);
     # 'xbar' = gen-2 full-scan crossbar encode (ops/hash_xbar.py; required
     #   for NEEDS_POS_GRAD methods until the windowed posgrad kernel lands).
-    ENCODING_BACKEND='window',
+    ENCODING_BACKEND='cell',
     # Training-time stochastic trilinear interpolation: number of corners
     # evaluated per (sample, level) — 1, 2, or 4 (unbiased estimators with
     # decreasing variance, see ops/hash_xbar.py), or 0 for the exact
@@ -131,7 +134,7 @@ class InstantNGPModel(BaseModel):
             base_resolution=int(self.BASE_RESOLUTION),
             target_resolution=int(self.TARGET_RESOLUTION),
             anchor_stride=int(self.ENCODE_ANCHOR_STRIDE)
-            if str(self.ENCODING_BACKEND) == 'window' else 1)
+            if str(self.ENCODING_BACKEND) in ('window', 'cell') else 1)
         k_table, k_d1, k_d2, k_c1, k_c2, k_c3 = jax.random.split(rng, 6)
         hdim = self.hash_config.output_dim
         dw, geo = int(self.DENSITY_MLP_WIDTH), int(self.GEO_FEATURES)
@@ -196,6 +199,21 @@ class InstantNGPModel(BaseModel):
         backend = str(self.ENCODING_BACKEND)
         n_corners = int(self.STOCHASTIC_CORNERS)
         stochastic = encode_seed is not None and n_corners > 0
+        if backend == 'cell':
+            if self.NEEDS_POS_GRAD:
+                raise ValueError(
+                    'ENCODING_BACKEND=cell has no position-gradient '
+                    'kernel; deformation methods must set '
+                    "ENCODING_BACKEND='xbar'")
+            # Exact 8-corner always: cell packing amortizes the per-corner
+            # machinery, so the stochastic estimator (and its quality bill)
+            # is unnecessary (encode_seed is accepted but unused).
+            from nerficg_tpu.ops.hash_cell import hash_encode_cell
+            feats_t = hash_encode_cell(params['hash_table'], unit,
+                                       self.hash_config, anchor_keys)
+            h = _mlp_featT(params['density_mlp'], feats_t)
+            sigma = trunc_exp(h[..., 0])
+            return sigma, h[..., 1:]
         if backend == 'window':
             if self.NEEDS_POS_GRAD:
                 raise ValueError(

@@ -133,8 +133,8 @@ class InstantNGPRenderer(BaseRenderer):
             probe_fn = lambda px, py, pz: occupancy_probe_cascaded_xyz(
                 grid_binary, px, py, pz, self.model.center,
                 float(self.model.SCALE), resolution)
-        use_window = \
-            str(getattr(self.model, 'ENCODING_BACKEND', '')) == 'window'
+        use_window = str(getattr(self.model, 'ENCODING_BACKEND', '')) \
+            in ('window', 'cell')
         march = march_rays(
             origins, directions,
             self.model.aabb_min, self.model.aabb_max,
