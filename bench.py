@@ -195,19 +195,23 @@ def main() -> None:
 
 def main_quality(model_overrides: Optional[dict] = None,
                  iterations: int = 1500, image_size: int = 64,
-                 dynamic: bool = False) -> None:
-    """--quality: end-to-end PSNR probe — procedural Blender-format scene
-    (64x64, 10 views), 1500 Instant-NGP iterations through the real
-    loader/trainer path, test-split PSNR as the metric. Anchors the
-    throughput numbers with a trainable-quality check (no real scene data
-    ships in this environment; see VERDICT #5 / README).
+                 dynamic: bool = False, scene: str = 'blob') -> None:
+    """--quality: end-to-end PSNR probe — procedural Blender-format scene,
+    Instant-NGP iterations through the real loader/trainer path, test-split
+    PSNR as the metric. Anchors the throughput numbers with a
+    trainable-quality check (no real scene data ships in this environment;
+    see VERDICT #5 / README).
 
+    ``--scene textured`` uses the opaque multi-octave textured sphere
+    (capacity-sensitive: PSNR responds to LOG2_HASHMAP_SIZE); the default
+    ``blob`` is the legacy translucent-blob probe (encode-variant ranking).
     ``--model KEY=VALUE`` overrides feed the MODEL section — the A/B knobs
     for encode backend / capacity / stochastic corners."""
     import tempfile
 
     from nerficg_tpu.data.synthetic import (make_dynamic_scene,
-                                            make_synthetic_scene)
+                                            make_synthetic_scene,
+                                            make_textured_scene)
 
     from nerficg_tpu.core.registry import Datasets, Methods
     from nerficg_tpu.core.setup import setup
@@ -218,6 +222,8 @@ def main_quality(model_overrides: Optional[dict] = None,
     root.mkdir()
     if dynamic:
         make_dynamic_scene(root, image_size=image_size)
+    elif scene == 'textured':
+        make_textured_scene(root, image_size=image_size)
     else:
         make_synthetic_scene(root, image_size=image_size)
     model_cfg = {'SCALE': 1.0}
@@ -260,6 +266,7 @@ def main_quality(model_overrides: Optional[dict] = None,
         'value': round(sum(vals) / len(vals), 2),
         'unit': 'dB',
         'train_seconds': round(train_s, 1),
+        'scene': ('dynamic' if dynamic else scene),
         'model_overrides': model_overrides or {},
         'vs_baseline': 0.0,
     }))
@@ -277,6 +284,9 @@ if __name__ == '__main__':
     parser.add_argument('--dynamic', action='store_true',
                         help='quality mode: D-NeRF on the procedural '
                              'dynamic scene instead of static InstantNGP')
+    parser.add_argument('--scene', default='blob',
+                        choices=('blob', 'textured'),
+                        help='quality-probe scene preset')
     args = parser.parse_args()
     if args.quality:
         overrides = {}
@@ -287,6 +297,7 @@ if __name__ == '__main__':
             except (ValueError, SyntaxError):
                 overrides[key] = val
         main_quality(overrides, iterations=args.iters,
-                     image_size=args.image_size, dynamic=args.dynamic)
+                     image_size=args.image_size, dynamic=args.dynamic,
+                     scene=args.scene)
     else:
         main()

@@ -31,19 +31,36 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
-def _filter2d_separable(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable gaussian filter on (H, W, C), 'valid' padding."""
+def _band_matrix(n: int, kernel: jnp.ndarray) -> jnp.ndarray:
+    """(n, n-k+1) banded matrix B with B[i, j] = kernel[i - j] ('valid').
+
+    Built from constants, so XLA folds it at compile time; multiplying by it
+    IS the 1-D 'valid' convolution."""
     k = kernel.shape[0]
-    c = img.shape[-1]
-    x = img[None].transpose(0, 3, 1, 2)  # (1, C, H, W)
-    kh = jnp.broadcast_to(kernel.reshape(1, 1, k, 1), (c, 1, k, 1))
-    kw = jnp.broadcast_to(kernel.reshape(1, 1, 1, k), (c, 1, 1, k))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ('NCHW', 'OIHW', 'NCHW'))
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), 'VALID',
-                                     dimension_numbers=dn, feature_group_count=c)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), 'VALID',
-                                     dimension_numbers=dn, feature_group_count=c)
-    return x[0].transpose(1, 2, 0)
+    out = n - k + 1
+    d = jnp.arange(n)[:, None] - jnp.arange(out)[None, :]
+    taps = kernel[jnp.clip(d, 0, k - 1)]
+    return jnp.where((d >= 0) & (d < k), taps, 0.0)
+
+
+def _filter2d_separable(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Separable gaussian filter on (H, W, C), 'valid' padding.
+
+    TPU note: a grouped depthwise conv with C=3 single-channel groups maps
+    pathologically onto the MXU (measured 2.4 s for the five 1080p SSIM maps
+    round 4); a banded-matrix matmul per direction is the native form —
+    the whole 11-tap filter is two batched matmuls (~0.2 ms at 1080p).
+    Precision HIGHEST keeps the metric f32-exact (default TPU matmul
+    precision is bf16)."""
+    h, w, _ = img.shape
+    bh = _band_matrix(h, kernel)                       # (H, H')
+    bw = _band_matrix(w, kernel)                       # (W, W')
+    x = img.transpose(2, 0, 1)                         # (C, H, W)
+    x = jnp.einsum('chw,wW->chW', x, bw,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum('chW,hH->cHW', x, bh,
+                   precision=jax.lax.Precision.HIGHEST)
+    return x.transpose(1, 2, 0)
 
 
 def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,

@@ -45,6 +45,8 @@ def main():
     parser.add_argument('--num', type=int, default=100_000)
     parser.add_argument('--width', type=int, default=1920)
     parser.add_argument('--height', type=int, default=1080)
+    parser.add_argument('--which', default='infer',
+                        choices=('infer', 'train', 'all'))
     args = parser.parse_args()
 
     from nerficg_tpu.core.config import ConfigNode
@@ -77,6 +79,11 @@ def main():
     params = model.params
     n = params['positions'].shape[0]
     offset = jnp.zeros((n, 2), jnp.float32)
+
+    if args.which in ('train', 'all'):
+        profile_train(model, renderer, intrinsics, w2c, cam, bg, params, h, w)
+        if args.which == 'train':
+            return
 
     # end to end
     fn = renderer._get_render_fn(intrinsics, int(model.active_sh_degree))
@@ -206,6 +213,121 @@ def main():
 
     timed(comp_stage, (sorted_ch, starts, counts),
           label='fused composite (sorted stream)')
+
+
+def profile_train(model, renderer, intrinsics, w2c, cam, bg, params, h, w):
+    """Training fwd+bwd stage budget at the same operating point.
+
+    The train path (packed_inference=False) carries 10 f32 channels through
+    a 2-key sort and routes gradients back via the custom VJPs; this section
+    locates the cost so the round-3 inference wins can be ported
+    (VERDICT r3 next #4)."""
+    import optax
+    from nerficg_tpu.optim.losses import dssim as dssim_fn
+
+    n = params['positions'].shape[0]
+    offset = jnp.zeros((n, 2), jnp.float32)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    sh_degree = int(model.active_sh_degree)
+
+    def render_train(p, off):
+        return renderer.render_impl(p, off, w2c, cam, intrinsics=intrinsics,
+                                    background=bg, sh_degree=sh_degree)
+
+    timed(lambda p: render_train(p, offset)['rgb'], (params,),
+          label='train render fwd (unpacked path)')
+
+    def loss_fn(p, off):
+        out = render_train(p, off)
+        l1 = jnp.mean(jnp.abs(out['rgb'] - target))
+        ds = dssim_fn(out['rgb'], target)
+        return 0.8 * l1 + 0.2 * ds
+
+    timed(lambda p: loss_fn(p, offset), (params,),
+          label='train loss fwd (render+L1+DSSIM)')
+
+    def grad_step(p):
+        g, go = jax.grad(loss_fn, argnums=(0, 1))(p, offset)
+        return g['positions']
+
+    timed(grad_step, (params,), label='train fwd+bwd (no adam)')
+
+    optimizer = optax.adam(1e-3, eps=1e-15)
+    opt_state = optimizer.init(params)
+
+    def full_step(p, o):
+        g, go = jax.grad(loss_fn, argnums=(0, 1))(p, offset)
+        updates, o = optimizer.update(g, o, p)
+        return optax.apply_updates(p, updates), o
+
+    fs = jax.jit(full_step)
+    p, o = fs(jax.tree_util.tree_map(jnp.copy, params), opt_state)
+    jax.block_until_ready(p['positions'])
+    import time as _t
+    start = _t.perf_counter()
+    for _ in range(30):
+        p, o = fs(p, o)
+    jax.block_until_ready(p['positions'])
+    print(f'{"train full step (fwd+bwd+adam)":46s} '
+          f'{(_t.perf_counter() - start) / 30 * 1000.0:8.3f} ms')
+
+    # loss-only on a fixed rendered image (DSSIM cost isolation)
+    img = jax.jit(lambda p: render_train(p, offset)['rgb'])(params)
+
+    def loss_only(im):
+        l1 = jnp.mean(jnp.abs(im - target))
+        return 0.8 * l1 + 0.2 * dssim_fn(im, target)
+
+    timed(lambda im: jax.grad(loss_only)(im), (img,),
+          label='L1+DSSIM fwd+bwd (1080p)')
+
+    # sort fwd+bwd in isolation (the 2-key 13-operand train sort)
+    from nerficg_tpu.ops import gs_rasterize as gr
+    rng = jax.random.PRNGKey(0)
+    e = n * int(renderer.MAX_TILES_PER_GAUSSIAN)
+    tile_e = jax.random.randint(rng, (e,), 0, 8160).astype(jnp.float32)
+    dep_e = jax.random.uniform(jax.random.PRNGKey(1), (e,))
+    ch_e = jax.random.normal(jax.random.PRNGKey(2), (10, e))
+
+    def sort_fwd(te, de, ce):
+        return gr._permute_entries(te, de, ce)[1]
+
+    timed(sort_fwd, (tile_e, dep_e, ch_e),
+          label=f'train sort fwd (2key+10ch, E={e // 1000}k)')
+
+    def sort_fwdbwd(te, de, ce):
+        def f(c):
+            return jnp.sum(gr._permute_entries(te, de, c)[1] ** 2)
+        return jax.grad(f)(ce)
+
+    timed(sort_fwdbwd, (tile_e, dep_e, ch_e),
+          label='train sort fwd+bwd')
+
+    # composite_sorted fwd / fwd+bwd in isolation (16-ch train layout)
+    from nerficg_tpu.ops.gs_tiles_kernel import composite_sorted
+    tiles_x = -(-w // 16)
+    num_tiles = tiles_x * (-(-h // 16))
+    kk = int(renderer.MAX_PER_TILE)
+    e_pad = (-(-(e + 3 * kk) // kk)) * kk
+    sc_tile = jnp.sort(jax.random.randint(rng, (e,), 0, num_tiles))
+    edges = jnp.searchsorted(sc_tile,
+                             jnp.arange(num_tiles + 1, dtype=jnp.int32))
+    cs_starts = edges[:-1].astype(jnp.int32)
+    cs_counts = (edges[1:] - edges[:-1]).astype(jnp.int32)
+    sm = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(3), (e, 16)) * 0.1,
+        jnp.zeros((e_pad - e, 16))], axis=0)
+
+    def cs_fwd(m):
+        return composite_sorted(m, cs_starts, cs_counts, tiles_x,
+                                num_tiles, kk)
+
+    timed(cs_fwd, (sm,), label='composite_sorted fwd (16ch)')
+
+    def cs_fwdbwd(m):
+        return jax.grad(lambda x: jnp.sum(cs_fwd(x)[:, 0:5] ** 2))(m)
+
+    timed(cs_fwdbwd, (sm,), label='composite_sorted fwd+bwd')
 
 
 if __name__ == '__main__':
