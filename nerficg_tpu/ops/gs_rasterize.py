@@ -29,7 +29,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ['rasterize_gaussians', 'bin_gaussians', 'rasterize_tiles']
+__all__ = ['rasterize_gaussians', 'bin_gaussians']
 
 TILE = 16  # pixels per tile side (matches the reference rasterizer)
 
@@ -114,99 +114,6 @@ def bin_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
     tile_ids = jax.vmap(slice_tile)(starts)                    # (T, K)
     tile_counts = jnp.minimum(counts, max_per_tile)
     return tile_ids, tile_counts
-
-
-def rasterize_tiles(tile_ids: jnp.ndarray, tile_counts: jnp.ndarray,
-                    attrs: jnp.ndarray, num_gaussians: int,
-                    width: int, height: int,
-                    background: jnp.ndarray,
-                    tile_chunk: int = 64) -> dict:
-    """Composite per-tile Gaussian lists into the image.
-
-    tile_ids: (T, K) gaussian indices (== num_gaussians marks padding).
-    attrs: (F=10, N_pad) per-gaussian attributes
-      [mean_x, mean_y, conic_a, conic_b, conic_c, opacity, r, g, b, depth]
-      with N_pad a multiple of 128.
-    """
-    from nerficg_tpu.ops.hash_mxu import gather_d
-    num_tiles, k = tile_ids.shape
-    tiles_x = -(-width // TILE)
-    f = attrs.shape[0]
-    n_pad = attrs.shape[1]
-
-    # Differentiable fetch: (1, F, T*K) <- attrs table; VJP = MXU scatter-add
-    # into the Gaussians (replaces the CUDA backward atomics).
-    table = attrs.reshape(1, f, n_pad // 128, 128)
-    safe_ids = jnp.minimum(tile_ids.reshape(1, -1), n_pad - 1)
-    fetched = gather_d(safe_ids, table).reshape(f, num_tiles, k)
-    entry_valid = (jnp.arange(k)[None, :] < tile_counts[:, None]) & \
-        (tile_ids < num_gaussians)                              # (T, K)
-
-    px = jnp.arange(TILE, dtype=jnp.float32) + 0.5
-    pixel_x, pixel_y = jnp.meshgrid(px, px, indexing='xy')      # (TILE, TILE)
-    pix = jnp.stack([pixel_x.reshape(-1), pixel_y.reshape(-1)], -1)  # (P, 2)
-    p = pix.shape[0]
-
-    tile_index = jnp.arange(num_tiles, dtype=jnp.float32)
-    tile_origin = jnp.stack([(jnp.mod(tile_index, tiles_x)) * TILE,
-                             (tile_index // tiles_x) * TILE], -1)  # (T, 2)
-
-    def rasterize_chunk(args):
-        a, valid, origin = args    # (F, C, K), (C, K), (C, 2)
-        mean = a[0:2]                                           # (2, C, K)
-        conic = a[2:5]
-        opac = a[5]                                             # (C, K)
-        color = a[6:9]                                          # (3, C, K)
-        depth = a[9]
-        pixels = origin[:, None, :] + pix[None, :, :]           # (C, P, 2)
-        dx = pixels[..., 0][:, None, :] - mean[0][..., None]    # (C, K, P)
-        dy = pixels[..., 1][:, None, :] - mean[1][..., None]
-        power = -0.5 * (conic[0][..., None] * dx * dx +
-                        conic[2][..., None] * dy * dy) - \
-            conic[1][..., None] * dx * dy
-        power = jnp.minimum(power, 0.0)
-        alpha = opac[..., None] * jnp.exp(power)                # (C, K, P)
-        alpha = jnp.clip(alpha, 0.0, 0.99)
-        alpha = jnp.where(valid[..., None], alpha, 0.0)
-        alpha = jnp.where(alpha > 1.0 / 255.0, alpha, 0.0)
-        # Exclusive front-to-back transmittance along K (depth-sorted).
-        trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=1)
-        trans = jnp.concatenate([jnp.ones_like(trans[:, :1]),
-                                 trans[:, :-1]], axis=1)
-        w = trans * alpha                                       # (C, K, P)
-        rgb = jnp.einsum('ckp,xck->cpx', w, color)              # (C, P, 3)
-        acc = jnp.sum(w, axis=1)                                # (C, P)
-        d = jnp.einsum('ckp,ck->cp', w, depth)
-        return rgb, acc, d
-
-    # Chunked map over tiles bounds peak memory at (chunk, K, P).
-    chunks = -(-num_tiles // tile_chunk)
-    t_pad = chunks * tile_chunk
-    a_t = _pad_to(fetched.transpose(1, 0, 2), t_pad)            # (T', F, K)
-    v_t = _pad_to(entry_valid, t_pad)
-    o_t = _pad_to(tile_origin, t_pad)
-    rgb, acc, dep = jax.lax.map(
-        rasterize_chunk,
-        (a_t.reshape(chunks, tile_chunk, f, k).transpose(0, 2, 1, 3),
-         v_t.reshape(chunks, tile_chunk, k),
-         o_t.reshape(chunks, tile_chunk, 2)))
-    rgb = rgb.reshape(t_pad, p, 3)[:num_tiles]
-    acc = acc.reshape(t_pad, p)[:num_tiles]
-    dep = dep.reshape(t_pad, p)[:num_tiles]
-
-    # Assemble tiles -> image.
-    tiles_y = -(-height // TILE)
-    def to_image(tile_data, channels):
-        img = tile_data.reshape(tiles_y, tiles_x, TILE, TILE, channels)
-        img = img.transpose(0, 2, 1, 3, 4).reshape(
-            tiles_y * TILE, tiles_x * TILE, channels)
-        return img[:height, :width]
-
-    image = to_image(rgb, 3)
-    alpha_img = to_image(acc[..., None], 1)
-    depth_img = to_image(dep[..., None], 1) / jnp.maximum(alpha_img, 1e-10)
-    image = image + (1.0 - alpha_img) * jnp.asarray(background, image.dtype)
-    return {'rgb': image, 'alpha': alpha_img, 'depth': depth_img}
 
 
 # =============================================================================
@@ -325,73 +232,6 @@ def _permute_entries_bwd(perm, cotangents):
 _permute_entries.defvjp(_permute_entries_fwd, _permute_entries_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _slice_tile_segments(sorted_mat: jnp.ndarray, starts: jnp.ndarray,
-                         rank_valid: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Per-tile fixed-budget windows of the sorted entry stream.
-
-    sorted_mat: (E + k, C) sorted entries (k zero rows appended so windows
-    never run off the end). starts: (T,) first entry of each tile.
-    rank_valid: (E,) — entry is within its tile's first ``k`` (rank < k).
-    Returns slots (T, k, C); rows past a tile's segment are garbage that the
-    caller must mask (their gradients are routed to zero exactly).
-    """
-    out, _ = _slice_fwd(sorted_mat, starts, rank_valid, k)
-    return out
-
-
-def _slice_fwd(sorted_mat, starts, rank_valid, k):
-    # starts / rank_valid arrive as float32 so zero cotangents are legal.
-    c = sorted_mat.shape[1]
-    starts_i = starts.astype(jnp.int32)
-    slots = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(sorted_mat, (s, 0), (k, c)))(starts_i)
-    return slots, (starts_i, rank_valid > 0.5, sorted_mat.shape[0])
-
-
-def _slice_bwd(k, residuals, d_slots):
-    """Exact slot->entry gradient routing by one sort.
-
-    Valid slots (slot (t, j) with start_t + j a rank<k entry of tile t) have
-    unique keys = their entry index; every entry NOT covered by a valid slot
-    gets a zero-grad filler with its own index as key. The union is exactly
-    {0..E-1}, each once, so after sorting the first E rows ARE d_sorted_mat
-    — no scatter, no searchsorted.
-    """
-    starts, rank_valid, e_pad = residuals
-    t, _, c = d_slots.shape
-    e = rank_valid.shape[0]
-    pos = jnp.arange(k, dtype=jnp.int32)
-    entry_of_slot = starts[:, None] + pos[None, :]              # (T, k)
-    # A slot is valid iff it lands inside its own tile segment: the entry it
-    # reads must belong to tile t AND have rank < k. Equivalent test that
-    # avoids re-deriving counts: the entry index is below the next tile's
-    # start (segments are contiguous) — encode via rank_valid + ownership.
-    next_start = jnp.concatenate([starts[1:], jnp.full((1,), e, jnp.int32)])
-    in_segment = entry_of_slot < next_start[:, None]
-    entry_clamped = jnp.minimum(entry_of_slot, e - 1)
-    slot_valid = in_segment & rank_valid[entry_clamped] & (entry_of_slot < e)
-    del entry_clamped
-    big = jnp.int32(2 ** 30)
-    flat_valid = slot_valid.reshape(-1)
-    slot_keys = jnp.where(flat_valid, entry_of_slot.reshape(-1),
-                          big + jnp.arange(t * k, dtype=jnp.int32))
-    filler_keys = jnp.where(rank_valid, big + big // 2 +
-                            jnp.arange(e, dtype=jnp.int32),
-                            jnp.arange(e, dtype=jnp.int32))
-    keys = jnp.concatenate([slot_keys, filler_keys])
-    grads = jnp.concatenate([
-        d_slots.reshape(t * k, c) * flat_valid[:, None].astype(d_slots.dtype),
-        jnp.zeros((e, c), d_slots.dtype)], axis=0)              # (T*k+E, C)
-    ops = jax.lax.sort((keys,) + tuple(grads.T), num_keys=1)
-    d_sorted = jnp.stack(ops[1:]).T[:e]                         # (E, C)
-    d_sorted = jnp.concatenate(
-        [d_sorted, jnp.zeros((e_pad - e, c), d_sorted.dtype)], axis=0)
-    return (d_sorted, jnp.zeros_like(starts), jnp.zeros(rank_valid.shape,
-                                                        jnp.float32))
-
-
-_slice_tile_segments.defvjp(_slice_fwd, _slice_bwd)
 
 
 def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
@@ -490,16 +330,14 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
         sorted_tile = sorted_tile_f.astype(jnp.int32)
         e = entry_tile.shape[0]
 
-        # Per-tile counts via the MXU histogram; starts via exclusive
-        # cumsum.
-        from nerficg_tpu.ops.hash_mxu import mxu_scatter_add
-        seg_pad = -(-(num_tiles + 1) // 128) * 128
-        ones = jnp.ones((1, 1, e), jnp.float32)
-        counts = mxu_scatter_add(sorted_tile[None], ones, seg_pad // 128,
-                                 compute_dtype=jnp.float32)
-        counts = counts.reshape(seg_pad)[:num_tiles].astype(jnp.int32)
-        starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                  jnp.cumsum(counts)[:-1]])
+        # Segment starts/counts by binary search over the sorted tile ids
+        # (the stream is already sorted — the MXU histogram + cumsum this
+        # replaces re-counted what the sort established).
+        edges = jnp.searchsorted(sorted_tile,
+                                 jnp.arange(num_tiles + 1, dtype=jnp.int32),
+                                 side='left')
+        starts = edges[:-1].astype(jnp.int32)
+        counts = (edges[1:] - edges[:-1]).astype(jnp.int32)
 
     # Fused slice+composite straight from the sorted stream (the slot
     # tensors never materialize; see ops/gs_tiles_kernel.composite_sorted).
@@ -534,44 +372,6 @@ def _assemble_tiles(out: jnp.ndarray, width: int, height: int,
     tiles_y = -(-height // TILE)
     rgb = out[:, 0:3].transpose(0, 2, 1)
     acc = out[:, 3]
-    dep = out[:, 4]
-
-    def to_image(tile_data, chs):
-        img = tile_data.reshape(tiles_y, tiles_x, TILE, TILE, chs)
-        img = img.transpose(0, 2, 1, 3, 4).reshape(
-            tiles_y * TILE, tiles_x * TILE, chs)
-        return img[:height, :width]
-
-    image = to_image(rgb, 3)
-    alpha_img = to_image(acc[..., None], 1)
-    depth_img = to_image(dep[..., None], 1) / jnp.maximum(alpha_img, 1e-10)
-    image = image + (1.0 - alpha_img) * jnp.asarray(background, image.dtype)
-    return {'rgb': image, 'alpha': alpha_img, 'depth': depth_img}
-
-
-def _composite_slots(slots: jnp.ndarray, tile_counts: jnp.ndarray,
-                     width: int, height: int, background: jnp.ndarray,
-                     tile_chunk: int) -> dict:
-    """Per-tile front-to-back compositing of (T, K, C=10) slots.
-
-    Delegates to the fused Pallas kernel (ops/gs_tiles_kernel.py): one grid
-    step composites one 16x16 tile entirely in VMEM, with a hand-derived
-    backward kernel — the (K, P) alpha/transmittance intermediates never
-    touch HBM (the round-1 jnp chunked path moved ~10 GB/frame at 1080p).
-    """
-    from nerficg_tpu.ops.gs_tiles_kernel import composite_tiles
-    num_tiles, k, f = slots.shape
-    tiles_x = -(-width // TILE)
-    tiles_y = -(-height // TILE)
-    p = TILE * TILE
-    tile_index = jnp.arange(num_tiles, dtype=jnp.float32)
-    tile_origin = jnp.stack([(jnp.mod(tile_index, tiles_x)) * TILE,
-                             (tile_index // tiles_x) * TILE], -1)
-
-    out = composite_tiles(slots, tile_counts, tile_origin,
-                          tiles_x)                              # (T, 8, P)
-    rgb = out[:, 0:3].transpose(0, 2, 1)                        # (T, P, 3)
-    acc = out[:, 3]                                             # (T, P)
     dep = out[:, 4]
 
     def to_image(tile_data, chs):

@@ -547,6 +547,181 @@ def _fused_bwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     dslots_ref[0] = dwin_ref[pl.ds(0, k + KPAD), :]
 
 
+def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
+                             tril_ref, dout_ref, o0_ref, o1_ref, win_ref,
+                             log_scratch, *, k, tiles_x):
+    """Backward that accumulates entry gradients DIRECTLY in stream layout.
+
+    The slot-space detour (write (T, k+KPAD, 16) d_slots, route to entries
+    with a (T*(k+KPAD)+E)-row 17-operand sort) measured 44 ms of the 66 ms
+    composite backward at 1080p/100k (round 4).  Here each chunk's gradient
+    is written straight at its stream rows instead:
+
+      * chunks are CH-aligned within the 3k window (vs 8-aligned in the
+        fwd kernel), so with k % CH == 0 a chunk NEVER straddles a k-block
+        boundary — each (CH, 16) gradient write lands in exactly one
+        k-block, which is window block 0 or 1 (window rows < 2k);
+      * the two k-blocks are two separate output operands whose block
+        index maps (starts[t]//k and starts[t]//k + 1) are monotone
+        nondecreasing in t, so Pallas's revisiting semantics apply: the
+        VMEM block persists across consecutive tiles sharing it (gradient
+        writes accumulate), and is flushed exactly once;
+      * the kernel zeroes both operand blocks when the block index
+        changes (first visitor); rows foreign to the current tile are
+        masked to zero before the += so neighbouring tiles' rows survive;
+      * blocks never visited by an operand are masked out host-side
+        (see _run_fused_bwd_stream) — their HBM content is undefined.
+
+    The alignment price: up to CH-1 (vs 7) masked foreign rows re-processed
+    per tile — ~1.2x chunk work for the backward only; the forward keeps
+    its 8-aligned windows.
+    """
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    ox, oy = _origin(t, tiles_x)
+    px, py = _pixel_grids(ox, oy)
+    tril = tril_ref[:]
+    local = start % k
+    aligned = (local // CH) * CH
+    skip = local - aligned
+    win_ref[pl.ds(0, k), :] = b0_ref[:]
+    win_ref[pl.ds(k, k), :] = b1_ref[:]
+    win_ref[pl.ds(2 * k, k), :] = b2_ref[:]
+
+    prev_start = starts_ref[jnp.maximum(t - 1, 0)]
+    is_new = (t == 0) | (start // k != prev_start // k)
+
+    @pl.when(is_new)
+    def _zero_blocks():
+        o0_ref[...] = jnp.zeros_like(o0_ref)
+        o1_ref[...] = jnp.zeros_like(o1_ref)
+
+    eff = jnp.minimum(count, k) + skip
+    n_chunks = (eff + CH - 1) // CH
+
+    def fwd_body(c, log_acc):
+        off = aligned + c * CH
+        chunk_t = win_ref[pl.ds(pl.multiple_of(off, CH), CH), :]
+        alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
+                                            c * CH - skip, px, py)
+        log_scratch[pl.ds(c, 1), :] = log_acc
+        return log_acc + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.zeros((1, P), jnp.float32))
+
+    dcol = dout_ref[0, 0:3]
+    dacc = dout_ref[0, 3:4]
+    ddep = dout_ref[0, 4:5]
+
+    def rev_body(i, s_after):
+        c = n_chunks - 1 - i
+        off = aligned + c * CH
+        chunk_t = win_ref[pl.ds(pl.multiple_of(off, CH), CH), :]
+        alpha, ep, dx, dy, active = _chunk_geometry(chunk_t, count,
+                                                    c * CH - skip, px, py)
+        log_t = jnp.log1p(-alpha)
+        excl = log_scratch[pl.ds(c, 1), :] + jax.lax.dot_general(
+            tril, log_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        trans = jnp.exp(excl)
+        w = trans * alpha
+        color_t = chunk_t[:, 6:9]
+        depth_c = chunk_t[:, 9:10]
+        g = jax.lax.dot_general(color_t, dcol, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        g = g + dacc + depth_c * ddep
+        gw = g * w
+        s_within = jax.lax.dot_general(
+            tril, gw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_total = s_within + s_after
+        dalpha = jnp.where(active, g * trans - s_total / (1.0 - alpha), 0.0)
+        op = chunk_t[:, 5:6]
+        ca = chunk_t[:, 2:3]
+        cb = chunk_t[:, 3:4]
+        cc = chunk_t[:, 4:5]
+        dop = jnp.sum(dalpha * ep, axis=1, keepdims=True)
+        dpow = dalpha * op * ep
+        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
+        dcb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
+        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
+        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
+        dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=1, keepdims=True)
+        dcolor = jax.lax.dot_general(w, dcol, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        ddepth = jax.lax.dot_general(w, ddep, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        # Rank mask: the fwd composites (and the routing used to keep) only
+        # the first k entries of a segment; rows past the budget get zero.
+        iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+        in_budget = ((iota + (c * CH - skip)) < k).astype(jnp.float32)
+        dchunk = jnp.concatenate(
+            [dmx, dmy, dca, dcb, dcc, dop, dcolor, ddepth,
+             jnp.zeros((CH, 16 - 10), jnp.float32)], axis=1) * in_budget
+
+        blk = off // k          # 0 or 1: window rows < 2k (see docstring)
+        off_in = off - blk * k
+
+        @pl.when(blk == 0)
+        def _acc0():
+            idx = pl.ds(pl.multiple_of(off_in, CH), CH)
+            o0_ref[0, idx, :] = o0_ref[0, idx, :] + dchunk
+
+        @pl.when(blk == 1)
+        def _acc1():
+            idx = pl.ds(pl.multiple_of(off_in, CH), CH)
+            o1_ref[0, idx, :] = o1_ref[0, idx, :] + dchunk
+
+        return s_after + jnp.sum(gw, axis=0, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, rev_body, jnp.zeros((1, P), jnp.float32))
+
+
+def _run_fused_bwd_stream(sorted_mat, starts, counts, dout, tiles_x,
+                          num_tiles, k):
+    """d_sorted (E_pad, 16) via the stream-accumulating backward kernel."""
+    assert k % CH == 0, 'stream backward needs k % CH == 0'
+    e_pad = sorted_mat.shape[0]
+    eb = e_pad // k
+    tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
+            ).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=_stagger_specs(k) + [
+            pl.BlockSpec((CH, CH), lambda t, s, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, k, 16), lambda t, s, c: (s[t] // k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 16), lambda t, s, c: (s[t] // k + 1, 0, 0),
+                         memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((3 * k, 16), jnp.float32),
+                        pltpu.VMEM((k // CH + 2, P), jnp.float32)],
+    )
+    o0, o1 = pl.pallas_call(
+        functools.partial(_fused_bwd_stream_kernel, k=k, tiles_x=tiles_x),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((eb, k, 16), jnp.float32),
+                   jax.ShapeDtypeStruct((eb, k, 16), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(starts, counts, sorted_mat, sorted_mat, sorted_mat, tril, dout)
+    # Blocks an operand never visited hold undefined HBM content; a block b
+    # is visited by operand 0 iff some tile starts inside it, and by
+    # operand 1 iff some tile starts in block b-1.
+    block_lo = jnp.arange(eb, dtype=jnp.int32) * k
+    lo = jnp.searchsorted(starts, block_lo, side='left')
+    hi = jnp.searchsorted(starts, block_lo + k, side='left')
+    vis0 = (hi > lo)[:, None, None]
+    vis1 = jnp.concatenate([jnp.zeros((1,), bool), (hi > lo)[:-1]])
+    d = jnp.where(vis0, o0, 0.0) + jnp.where(vis1[:, None, None], o1, 0.0)
+    return d.reshape(e_pad, 16)
+
+
 def _stagger_specs(k, width=16):
     return [
         pl.BlockSpec((k, width), lambda t, s, c: (s[t] // k + 0, 0),
@@ -694,6 +869,13 @@ def _cs_bwd(tiles_x, num_tiles, k, res, dout):
         d_sorted = jax.vjp(
             lambda sm: _cs_jnp(sm, starts, counts, tiles_x, num_tiles, k),
             sorted_mat)[1](dout)[0]
+        return d_sorted, None, None
+    if k % CH == 0:
+        # Stream-accumulating backward: gradients land directly at their
+        # entry rows — no slot detour, no routing sort (44 ms at
+        # 1080p/100k, round-4 measurement).
+        d_sorted = _run_fused_bwd_stream(sorted_mat, starts, counts, dout,
+                                         tiles_x, num_tiles, k)
         return d_sorted, None, None
     d_slots = _run_fused_bwd(sorted_mat, starts, counts, dout, tiles_x,
                              num_tiles, k)                 # (T, k+KPAD, 16)

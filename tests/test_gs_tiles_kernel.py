@@ -146,6 +146,22 @@ class TestCompositeSorted:
         np.testing.assert_allclose(d_routed, np.asarray(dref), atol=2e-3,
                                    rtol=1e-3)
 
+    def test_stream_bwd_matches_fallback(self, rng):
+        """Stream-accumulating backward (no routing sort) vs the oracle."""
+        mat, starts, counts = self._stream(rng)
+        dout = jax.random.normal(jax.random.PRNGKey(5), (5, 8, gtk.P))
+
+        def loss_ref(sm):
+            return jnp.sum(gtk._cs_jnp(sm, starts, counts, 1000000, 5, 128)
+                           * dout)
+
+        dref = jax.grad(loss_ref)(mat)
+        with _interp():
+            d = gtk._run_fused_bwd_stream(mat, starts, counts, dout,
+                                          1000000, 5, 128)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(dref),
+                                   atol=2e-3, rtol=1e-3)
+
     def test_custom_vjp_roundtrip_cpu(self, rng):
         mat, starts, counts = self._stream(rng)
 
