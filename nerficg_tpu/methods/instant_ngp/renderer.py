@@ -25,8 +25,12 @@ from nerficg_tpu.methods.instant_ngp.model import InstantNGPModel
 from nerficg_tpu.ops.occupancy import (cascade_cell_positions,
                                        composite_packed,
                                        downsample_occupancy,
+                                       downsample_occupancy_block,
                                        downsample_occupancy_cascaded,
+                                       downsample_occupancy_cascaded_block,
                                        march_rays,
+                                       occupancy_probe_block_cascaded_xyz,
+                                       occupancy_probe_block_xyz,
                                        occupancy_probe_cascaded_xyz,
                                        update_density_grid)
 
@@ -35,14 +39,20 @@ __all__ = ['InstantNGPRenderer']
 
 @Configurable.configure(
     MAX_SAMPLES=512,            # marching steps per ray (reference: 1024)
-    MARCH_RESOLUTION=64,        # skip-grid probed by the marcher; bit-packed
-                                # crossbar probes (ops/xbar_gather.py) make
-                                # 64^3 affordable (~0.2 VPU-cycles/probe).
-                                # NOT the density grid's 128^3: the crossbar
-                                # word scan is linear in bitfield extent, so
-                                # 128^3 costs 8x per probe — measured NET
-                                # -37% train throughput despite the tighter
-                                # occupied band (PERF_NOTES.md round 3)
+    MARCH_RESOLUTION=64,        # skip-grid probed by the marcher (reference
+                                # density grid: 128^3, Model.py:16). With
+                                # PROBE_MODE='dense' the crossbar word scan
+                                # is linear in bitfield extent (128^3 was a
+                                # measured NET -37%, PERF_NOTES round 3);
+                                # 'block' probes are sub-linear and make
+                                # 128^3 affordable.
+    PROBE_MODE='block',         # 'block': two-level rank-compacted bitfield
+                                # (ops/xbar_gather.py build_block_bitfield),
+                                # probe cost ~ occupied volume (capped).
+                                # 'dense': flat packed bitfield scan.
+    PROBE_CAP_BLOCKS=0,         # 'block' capacity in 8^3-cell blocks; 0 =
+                                # auto (total_blocks/4, min 256). Overflow
+                                # blocks conservatively probe as occupied.
     AVG_SAMPLES_PER_RAY=32,     # training compaction budget = rays * this
     INFERENCE_SAMPLES_PER_RAY=128,  # larger budget for full-image rendering
     MARCH_BLOCK=8,              # compaction granularity (steps per block):
@@ -93,7 +103,24 @@ class InstantNGPRenderer(BaseRenderer):
         self._cascades = int(getattr(self.model, 'cascades', 1))
         exp = self.EXPONENTIAL_STEPS
         self._exponential = bool(self._cascades > 1 if exp is None else exp)
-        if self._cascades > 1:
+        self._probe_block = str(self.PROBE_MODE) == 'block'
+        total_blocks = self._cascades * (self._march_res // 8) ** 3
+        cap = int(self.PROBE_CAP_BLOCKS) or max(256, total_blocks // 4)
+        self._cap_blocks = min(-(-cap // 8) * 8, total_blocks)
+        if self._probe_block:
+            if self._cascades > 1:
+                self._grid_binary_jit = jax.jit(
+                    lambda grid: downsample_occupancy_cascaded_block(
+                        grid, int(self.model.GRID_RESOLUTION),
+                        self._march_res, self.density_threshold,
+                        self._cascades, self._cap_blocks))
+            else:
+                self._grid_binary_jit = jax.jit(
+                    lambda grid: downsample_occupancy_block(
+                        grid, int(self.model.GRID_RESOLUTION),
+                        self._march_res, self.density_threshold,
+                        self._cap_blocks))
+        elif self._cascades > 1:
             self._grid_binary_jit = jax.jit(
                 lambda grid: downsample_occupancy_cascaded(
                     grid, int(self.model.GRID_RESOLUTION), self._march_res,
@@ -127,9 +154,25 @@ class InstantNGPRenderer(BaseRenderer):
         resolution = self._march_res if grid_binary.ndim >= 2 \
             else int(self.model.GRID_RESOLUTION)
         probe_fn = None
-        if grid_binary.ndim == 3:      # (C, words, 128) cascaded bitfields
+        if self._probe_block and grid_binary.ndim == 2:
+            # Two-level block bitfield (single packed table, all cascades).
             # probe_fn takes per-axis world-coordinate planes (the marcher's
             # layout-friendly form; see ops/occupancy.py candidate pass).
+            if self._cascades > 1:
+                probe_fn = lambda px, py, pz: \
+                    occupancy_probe_block_cascaded_xyz(
+                        grid_binary, px, py, pz, self.model.center,
+                        float(self.model.SCALE), resolution,
+                        self._cascades, self._cap_blocks)
+            else:
+                amin, amax = self.model.aabb_min, self.model.aabb_max
+                probe_fn = lambda px, py, pz: occupancy_probe_block_xyz(
+                    grid_binary,
+                    (px - amin[0]) / (amax[0] - amin[0]),
+                    (py - amin[1]) / (amax[1] - amin[1]),
+                    (pz - amin[2]) / (amax[2] - amin[2]),
+                    resolution, self._cap_blocks)
+        elif grid_binary.ndim == 3:    # (C, words, 128) cascaded bitfields
             probe_fn = lambda px, py, pz: occupancy_probe_cascaded_xyz(
                 grid_binary, px, py, pz, self.model.center,
                 float(self.model.SCALE), resolution)

@@ -577,6 +577,87 @@ def update_density_grid(density_grid: jnp.ndarray,
 # Multi-cascade occupancy (unbounded scenes)
 # ---------------------------------------------------------------------------
 
+def downsample_occupancy_block(density_grid: jnp.ndarray, resolution: int,
+                               march_resolution: int, threshold: float,
+                               cap_blocks: int) -> jnp.ndarray:
+    """Like downsample_occupancy, but emits the two-level rank-compacted
+    block bitfield (ops/xbar_gather.py build_block_bitfield) whose probe
+    cost is sub-linear in grid extent — the enabler for marching at the
+    reference's full 128^3 skip-grid resolution
+    (/root/reference/src/Methods/InstantNGP/Model.py:16)."""
+    from nerficg_tpu.ops.xbar_gather import build_block_bitfield
+    factor = resolution // march_resolution
+    g = density_grid.reshape(march_resolution, factor, march_resolution,
+                             factor, march_resolution, factor)
+    coarse = g.max(axis=(1, 3, 5))
+    return build_block_bitfield((coarse > threshold).reshape(-1),
+                                march_resolution, cap_blocks)
+
+
+def downsample_occupancy_cascaded_block(density_grid: jnp.ndarray,
+                                        resolution: int,
+                                        march_resolution: int,
+                                        threshold: float, cascades: int,
+                                        cap_blocks: int) -> jnp.ndarray:
+    """(C*res^3,) density -> one packed two-level block bitfield covering
+    all cascades (cascade = grid_index; rank space is shared, so the
+    capacity pool is global across cascades)."""
+    from nerficg_tpu.ops.xbar_gather import build_block_bitfield
+    factor = resolution // march_resolution
+    g = density_grid.reshape(cascades, march_resolution, factor,
+                             march_resolution, factor,
+                             march_resolution, factor)
+    coarse = g.max(axis=(2, 4, 6)) > threshold            # (C, m, m, m)
+    return build_block_bitfield(coarse.reshape(-1), march_resolution,
+                                cap_blocks, num_grids=cascades)
+
+
+def occupancy_probe_block_xyz(table: jnp.ndarray, ux: jnp.ndarray,
+                              uy: jnp.ndarray, uz: jnp.ndarray,
+                              resolution: int,
+                              cap_blocks: int) -> jnp.ndarray:
+    """Two-level block-bitfield probe from unit-coordinate planes."""
+    from nerficg_tpu.ops.xbar_gather import block_probe_cells
+    cx = jnp.clip((ux * resolution).astype(jnp.int32), 0, resolution - 1)
+    cy = jnp.clip((uy * resolution).astype(jnp.int32), 0, resolution - 1)
+    cz = jnp.clip((uz * resolution).astype(jnp.int32), 0, resolution - 1)
+    return block_probe_cells(table, cx, cy, cz, 0, resolution, cap_blocks)
+
+
+def _cascade_cell_coords(px, py, pz, center, max_half, resolution, cascades):
+    """World planes -> (cascade, cx, cy, cz) int32 cell coords in the
+    finest containing cascade (the NGP mip selection, raymarching.cu
+    mip_from_pos)."""
+    rx = px - center[0]
+    ry = py - center[1]
+    rz = pz - center[2]
+    m = jnp.maximum(jnp.maximum(jnp.abs(rx), jnp.abs(ry)), jnp.abs(rz))
+    base_half = max_half / (2 ** (cascades - 1))
+    c = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(m / base_half, 1.0))
+                          ).astype(jnp.int32), 0, cascades - 1)
+    inv = 1.0 / (2.0 * base_half * jnp.exp2(c.astype(jnp.float32)))
+    cx = jnp.clip(((rx * inv + 0.5) * resolution).astype(jnp.int32),
+                  0, resolution - 1)
+    cy = jnp.clip(((ry * inv + 0.5) * resolution).astype(jnp.int32),
+                  0, resolution - 1)
+    cz = jnp.clip(((rz * inv + 0.5) * resolution).astype(jnp.int32),
+                  0, resolution - 1)
+    return c, cx, cy, cz
+
+
+def occupancy_probe_block_cascaded_xyz(table: jnp.ndarray, px: jnp.ndarray,
+                                       py: jnp.ndarray, pz: jnp.ndarray,
+                                       center: jnp.ndarray, max_half: float,
+                                       resolution: int, cascades: int,
+                                       cap_blocks: int) -> jnp.ndarray:
+    """Cascaded two-level block-bitfield probe from world planes."""
+    from nerficg_tpu.ops.xbar_gather import block_probe_cells
+    c, cx, cy, cz = _cascade_cell_coords(px, py, pz, center, max_half,
+                                         resolution, cascades)
+    return block_probe_cells(table, cx, cy, cz, c, resolution, cap_blocks,
+                             num_grids=cascades)
+
+
 def num_cascades(scale: float) -> int:
     """cascades = max(1 + ceil(log2(2*scale)), 1)
     (reference: InstantNGP/Model.py:53)."""

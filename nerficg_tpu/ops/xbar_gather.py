@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['xbar_gather', 'xbar_permute', 'pack_bits', 'occupancy_probe']
+__all__ = ['xbar_gather', 'xbar_permute', 'pack_bits', 'occupancy_probe',
+           'build_block_bitfield', 'block_probe_cells', 'block_table_rows']
 
 _LANES = 128
 _TILE = 65536          # lookups per grid step
@@ -198,3 +199,130 @@ def occupancy_probe(packed: jnp.ndarray, positions_unit: jnp.ndarray,
     return occupancy_probe_xyz(packed, positions_unit[..., 0],
                                positions_unit[..., 1],
                                positions_unit[..., 2], resolution)
+
+
+# =============================================================================
+# Two-level rank-compacted block bitfield: sub-linear occupancy probes.
+#
+# The dense probe above scans the packed bitfield linearly (res^3/32/128
+# rows), which is what made 128^3 marching a measured NET loss in round 3
+# (PERF_NOTES: 512 rows/cascade vs 64 at 64^3). Here the grid is split into
+# 8^3-cell blocks (512 bits = 16 words each) and only OCCUPIED blocks keep
+# their fine words, packed contiguously in block-rank order:
+#
+#   coarse : 1 bit/block  (res=128 -> 4096 bits = 128 words = 1 row)
+#   rank   : per coarse word, # occupied blocks in preceding words (1 row)
+#   compact: cap_blocks * 16 words of fine bits, rank-ordered
+#
+# probe = 2 one-row gathers + popcount (block rank) + one gather over the
+# compact table -> cost scales with the OCCUPIED volume (capped), not the
+# grid extent. Blocks whose rank overflows cap_blocks conservatively report
+# occupied (the skip grid is an optimization; unskipped samples are merely
+# re-tested by the density MLP), so any cap is correct.
+#
+# Reference equivalent: the occupancy bitfield of the CUDA marcher at its
+# full 128^3 per-cascade resolution (/root/reference/src/Methods/InstantNGP/
+# Model.py:16 RESOLUTION=128; csrc/raymarching.cu:166-331 grid bit tests).
+# =============================================================================
+
+_BLOCK = 8                      # cells per block side (512 bits = 16 words)
+_BLOCK_WORDS = _BLOCK ** 3 // 32
+
+
+def block_table_rows(resolution: int, cap_blocks: int,
+                     num_grids: int = 1) -> tuple:
+    """(coarse_rows, rank_rows, compact_rows) of the packed layout."""
+    b = resolution // _BLOCK
+    nb = num_grids * b ** 3
+    nw = -(-nb // 32)
+    cr = -(-nw // _LANES)
+    return cr, cr, cap_blocks * _BLOCK_WORDS // _LANES
+
+
+def build_block_bitfield(flags: jnp.ndarray, resolution: int,
+                         cap_blocks: int, num_grids: int = 1) -> jnp.ndarray:
+    """(num_grids * res^3,) bool flags -> packed two-level table.
+
+    Returns ONE (rows, 128) int32 array [coarse | rank | compact] so it can
+    ride existing single-array plumbing (sharded-step broadcast, caching).
+    ``cap_blocks`` must be a multiple of 8 (so the compact table fills whole
+    128-lane rows).
+    """
+    assert resolution % _BLOCK == 0
+    assert cap_blocks % (_LANES // _BLOCK_WORDS) == 0
+    r = resolution
+    b = r // _BLOCK
+    nb = num_grids * b ** 3
+    f = flags.reshape(num_grids, b, _BLOCK, b, _BLOCK, b, _BLOCK)
+    f = f.transpose(0, 1, 3, 5, 2, 4, 6).reshape(nb, _BLOCK ** 3)
+    f = f.astype(jnp.uint32)
+    block_occ = f.max(axis=1) > 0                              # (nb,)
+    weights = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(f.reshape(nb, _BLOCK_WORDS, 32) * weights[None, None],
+                    axis=-1, dtype=jnp.uint32)                 # (nb, 16)
+
+    nw = -(-nb // 32)
+    occ_pad = jnp.pad(block_occ.astype(jnp.uint32), (0, nw * 32 - nb))
+    coarse_words = jnp.sum(occ_pad.reshape(nw, 32) * weights[None],
+                           axis=-1, dtype=jnp.uint32)          # (nw,)
+    popc = jax.lax.population_count(coarse_words).astype(jnp.int32)
+    rank_words = jnp.cumsum(popc) - popc                       # exclusive
+
+    # Rank-ordered compaction; overflow blocks land on the dropped tail row.
+    block_rank = jnp.cumsum(block_occ.astype(jnp.int32)) - 1   # inclusive-1
+    dest = jnp.where(block_occ & (block_rank < cap_blocks),
+                     block_rank, cap_blocks)
+    compact = jnp.zeros((cap_blocks + 1, _BLOCK_WORDS), jnp.uint32)
+    compact = compact.at[dest].set(words, mode='drop')[:cap_blocks]
+
+    cr, rr, fr = block_table_rows(resolution, cap_blocks, num_grids)
+
+    def to_rows(x, rows):
+        x = x.reshape(-1)
+        x = jnp.pad(x, (0, rows * _LANES - x.shape[0]))
+        return x.reshape(rows, _LANES)
+
+    out = jnp.concatenate([
+        to_rows(jax.lax.bitcast_convert_type(coarse_words, jnp.int32), cr),
+        to_rows(rank_words, rr),
+        to_rows(jax.lax.bitcast_convert_type(compact, jnp.int32), fr),
+    ], axis=0)
+    return out
+
+
+def block_probe_cells(table: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+                      cz: jnp.ndarray, grid_index, resolution: int,
+                      cap_blocks: int, num_grids: int = 1) -> jnp.ndarray:
+    """Occupancy of integer cell coords (already clipped to [0, res)).
+
+    grid_index: per-probe grid/cascade selector (int array or 0).
+    Cost: two gathers over the tiny coarse/rank rows + one over the
+    compact rows — sub-linear in grid extent.
+    """
+    cr, rr, fr = block_table_rows(resolution, cap_blocks, num_grids)
+    coarse = table[:cr]
+    rank = table[cr:cr + rr]
+    compact = table[cr + rr:cr + rr + fr]
+    b = resolution // _BLOCK
+    blk_local = ((cx >> 3) * b + (cy >> 3)) * b + (cz >> 3)
+    blk = grid_index * (b ** 3) + blk_local
+    shape = blk.shape
+    blk = blk.reshape(-1)
+    w = jnp.right_shift(blk, 5)
+    bit = jnp.bitwise_and(blk, 31)
+    cw = xbar_gather(coarse, w)
+    rk = xbar_gather(rank, w)
+    occ_blk = jnp.bitwise_and(jnp.right_shift(cw, bit), 1) == 1
+    cw_u = jax.lax.bitcast_convert_type(cw, jnp.uint32)
+    below = jnp.left_shift(jnp.uint32(1), bit.astype(jnp.uint32)) \
+        - jnp.uint32(1)
+    rank_blk = rk + jax.lax.population_count(
+        cw_u & below).astype(jnp.int32)
+    overflow = rank_blk >= cap_blocks
+    within = (((cx & 7) * _BLOCK + (cy & 7)) * _BLOCK + (cz & 7)).reshape(-1)
+    safe = jnp.minimum(rank_blk, cap_blocks - 1) * _BLOCK_WORDS + \
+        jnp.right_shift(within, 5)
+    fword = xbar_gather(compact, safe)
+    fine = jnp.bitwise_and(
+        jnp.right_shift(fword, jnp.bitwise_and(within, 31)), 1) == 1
+    return (occ_blk & (fine | overflow)).reshape(shape)
