@@ -100,17 +100,21 @@ def measure_gs_fps() -> float:
     return frames / max(elapsed, 1e-6)
 
 
-def main() -> None:
+def main(model_overrides: Optional[dict] = None,
+         renderer_overrides: Optional[dict] = None) -> None:
     from nerficg_tpu.core.config import ConfigNode
     from nerficg_tpu.core.logging import Logger
     from nerficg_tpu.core.registry import Methods
 
     Logger.set_level('SILENT')
 
+    renderer_cfg = {'MAX_SAMPLES': 512, 'AVG_SAMPLES_PER_RAY': 32}
+    renderer_cfg.update(renderer_overrides or {})
     config = ConfigNode({
         'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'RANDOM_SEED': 0},
-        'MODEL': {},   # production defaults: 16 levels, 2^14/level, 128^3 grid
-        'RENDERER': {'MAX_SAMPLES': 512, 'AVG_SAMPLES_PER_RAY': 32},
+        'MODEL': dict(model_overrides or {}),
+        # MODEL defaults: 16 levels, 2^14/level, 128^3 grid
+        'RENDERER': renderer_cfg,
         'TRAINING': {'INITIAL_RAYS_PER_BATCH': 8192,
                      'TARGET_BATCH_SIZE': 262144,
                      'RANDOM_BACKGROUND': True},
@@ -278,7 +282,9 @@ if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('--quality', action='store_true')
     parser.add_argument('--model', action='append', default=[],
-                        help='MODEL override KEY=VALUE (quality mode)')
+                        help='MODEL override KEY=VALUE')
+    parser.add_argument('--renderer', action='append', default=[],
+                        help='RENDERER override KEY=VALUE (throughput mode)')
     parser.add_argument('--iters', type=int, default=1500)
     parser.add_argument('--image-size', type=int, default=64)
     parser.add_argument('--dynamic', action='store_true',
@@ -288,16 +294,20 @@ if __name__ == '__main__':
                         choices=('blob', 'textured'),
                         help='quality-probe scene preset')
     args = parser.parse_args()
-    if args.quality:
-        overrides = {}
-        for kv in args.model:
+
+    def _parse(pairs):
+        out = {}
+        for kv in pairs:
             key, _, val = kv.partition('=')
             try:
-                overrides[key] = ast.literal_eval(val)
+                out[key] = ast.literal_eval(val)
             except (ValueError, SyntaxError):
-                overrides[key] = val
-        main_quality(overrides, iterations=args.iters,
+                out[key] = val
+        return out
+
+    if args.quality:
+        main_quality(_parse(args.model), iterations=args.iters,
                      image_size=args.image_size, dynamic=args.dynamic,
                      scene=args.scene)
     else:
-        main()
+        main(_parse(args.model), _parse(args.renderer))

@@ -43,8 +43,13 @@ def timed(work, args, iters=30, label=''):
 
 
 def main():
+    import ast
+
     parser = argparse.ArgumentParser()
     parser.add_argument('--which', default='all')
+    parser.add_argument('--set', action='append', default=[],
+                        help='config override SECTION.KEY=VALUE, e.g. '
+                             'RENDERER.MARCH_RESOLUTION=128')
     args = parser.parse_args()
 
     from nerficg_tpu.core.config import ConfigNode
@@ -52,14 +57,22 @@ def main():
     from nerficg_tpu.core.registry import Methods
     Logger.set_level('SILENT')
 
-    config = ConfigNode({
+    raw = {
         'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'RANDOM_SEED': 0},
         'MODEL': {},
         'RENDERER': {'MAX_SAMPLES': 512, 'AVG_SAMPLES_PER_RAY': 32},
         'TRAINING': {'INITIAL_RAYS_PER_BATCH': 8192,
                      'TARGET_BATCH_SIZE': 262144,
                      'RANDOM_BACKGROUND': True},
-    })
+    }
+    for kv in args.set:
+        dotted, _, val = kv.partition('=')
+        section, _, key = dotted.partition('.')
+        try:
+            raw[section][key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            raw[section][key] = val
+    config = ConfigNode(raw)
     trainer = Methods.get_training_instance(config)
     model = trainer.model
     renderer = trainer.renderer
