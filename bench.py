@@ -100,6 +100,74 @@ def measure_gs_fps() -> float:
     return frames / max(elapsed, 1e-6)
 
 
+def measure_gs_train_ms() -> float:
+    """3DGS training-step wall time (fwd+bwd+adam, L1+DSSIM loss) at
+    1080p / 100k Gaussians — the driver-capturable counterpart of the
+    PERF_NOTES train budget (VERDICT r3 next #4; reference train loop:
+    /root/reference/src/Methods/GaussianSplatting/Trainer.py)."""
+    import optax
+
+    from nerficg_tpu.core.config import ConfigNode
+    from nerficg_tpu.core.registry import Methods
+    from nerficg_tpu.data.types import BasicPointCloud
+    from nerficg_tpu.optim.losses import dssim as dssim_fn
+
+    cfg = ConfigNode({
+        'GLOBAL': {'METHOD_TYPE': 'GaussianSplatting', 'RANDOM_SEED': 0},
+        'MODEL': {}, 'RENDERER': {}, 'TRAINING': {},
+    })
+    model = Methods.get_model(cfg)
+    rng = np.random.default_rng(0)
+    pts = (rng.random((100_000, 3)).astype(np.float32) * 2.0 - 1.0)
+    cols = rng.random((100_000, 3)).astype(np.float32)
+    model.init_from_point_cloud(BasicPointCloud(pts, cols))
+    renderer = Methods.get_renderer(cfg, model)
+
+    h, w = 1080, 1920
+    intrinsics = (0.8 * w, 0.8 * w, w / 2.0, h / 2.0, w, h)
+    eye = np.array([0.0, 0.0, 3.0])
+    c2w = np.eye(4)
+    c2w[:3, 2] = [0, 0, -1.0]
+    c2w[:3, 0] = [-1.0, 0, 0]
+    c2w[:3, 3] = eye
+    w2c = jnp.asarray(np.linalg.inv(c2w).astype(np.float32))
+    cam = jnp.asarray(eye, jnp.float32)
+    bg = jnp.zeros(3)
+    params = model.params
+    n = params['positions'].shape[0]
+    offset = jnp.zeros((n, 2), jnp.float32)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    sh_degree = int(model.active_sh_degree)
+    optimizer = optax.adam(1e-3, eps=1e-15)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p, off):
+        out = renderer.render_impl(p, off, w2c, cam, intrinsics=intrinsics,
+                                   background=bg, sh_degree=sh_degree)
+        l1 = jnp.mean(jnp.abs(out['rgb'] - target))
+        ds = dssim_fn(out['rgb'], target)
+        return 0.8 * l1 + 0.2 * ds
+
+    @jax.jit
+    def step(c, p, o):
+        grads, _ = jax.grad(loss_fn, argnums=(0, 1))(p, offset)
+        updates, o = optimizer.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        # Chain into a scalar so repeated dispatches form one device-side
+        # dependency chain (see measure_gs_fps's lazy-execution note).
+        return c + p['positions'][0, 0] * 1e-20, p, o
+
+    c = jnp.zeros(())
+    c, params, opt_state = step(c, params, opt_state)
+    float(c)
+    iters = 30
+    start = time.perf_counter()
+    for _ in range(iters):
+        c, params, opt_state = step(c, params, opt_state)
+    float(c)
+    return (time.perf_counter() - start) / iters * 1000.0
+
+
 def main(model_overrides: Optional[dict] = None,
          renderer_overrides: Optional[dict] = None) -> None:
     from nerficg_tpu.core.config import ConfigNode
@@ -187,6 +255,12 @@ def main(model_overrides: Optional[dict] = None,
         Logger.set_level('NORMAL')
         Logger.warning(f'GS FPS benchmark failed: {exc}')
         gs_fps = float('nan')
+    try:
+        gs_train_ms = measure_gs_train_ms()
+    except Exception as exc:
+        Logger.set_level('NORMAL')
+        Logger.warning(f'GS train benchmark failed: {exc}')
+        gs_train_ms = float('nan')
     print(json.dumps({
         'metric': 'instant_ngp_train_throughput',
         'value': round(rays_per_sec, 1),
@@ -194,6 +268,7 @@ def main(model_overrides: Optional[dict] = None,
         'vs_baseline': round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
         'gs_infer_fps_1080p_100k': round(gs_fps, 2),
         'gs_fps_vs_baseline': round(gs_fps / BASELINE_GS_FPS, 4),
+        'gs_train_step_ms_1080p_100k': round(gs_train_ms, 2),
     }))
 
 

@@ -14,9 +14,12 @@ is processed in chunks of CH=64 with a *dynamic* trip count, so tiles
 only pay for the Gaussians they actually contain (the fixed-K version
 measured 10.7 ms/1080p frame; mean occupancy is ~0.4K).
 
-Transmittance per chunk is a strict-lower-triangular matmul on the MXU
-seeded with the running log-transmittance carried across chunks.  The
-backward implements the classic suffix-sum formulation,
+Transmittance per chunk is an exclusive prefix PRODUCT of (1 - alpha)
+(Hillis-Steele doubling scan, seeded with the running transmittance
+carried across chunks) — the kernels are transcendental-bound on the
+VPU, so the log1p -> tril-matmul -> exp chain used through round 3 was
+replaced everywhere (inference first, round 3; train fwd+bwd, round 4).
+The backward implements the classic suffix-sum formulation,
 
     dL/dalpha_j = g_j T_j - S_j / (1 - alpha_j),
     S_j = sum_{k>j} g_k w_k,
@@ -93,6 +96,34 @@ def _read_attrs(chunk_t, packed: bool):
     return mx, my, ca, cb, cc, op, jnp.concatenate([r, g, b], axis=1), d
 
 
+def _excl_prefix_prod(one_minus_alpha):
+    """(CH, P) exclusive prefix product along axis 0 via a Hillis-Steele
+    doubling scan (7 shift+multiply passes). Replaces the log1p ->
+    tril-matmul -> exp transmittance chain everywhere: the composite
+    kernels are transcendental-bound on the VPU, so removing 2 of 3
+    transcendentals per chunk is the round-3 inference win
+    (PERF_NOTES.md), ported to the train fwd+bwd kernels in round 4."""
+    x = jnp.concatenate([jnp.ones((1, P), jnp.float32),
+                         one_minus_alpha[:CH - 1]], axis=0)
+    s = 1
+    while s < CH:
+        x = x * jnp.concatenate(
+            [jnp.ones((s, P), jnp.float32), x[:CH - s]], axis=0)
+        s *= 2
+    return x
+
+
+def _prod0(x):
+    """(CH, P) -> (1, P) product along axis 0 via a halving tree
+    (log2(CH) shrinking multiplies). Pallas TPU has no reduce_prod
+    lowering, and the full doubling scan would cost 2x the work."""
+    n = x.shape[0]
+    while n > 1:
+        n //= 2
+        x = x[:n] * x[n:2 * n]
+    return x
+
+
 def _pixel_grids(origin_x, origin_y):
     """(1, P) pixel-center coordinates of a tile at (origin_x, origin_y)."""
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
@@ -124,24 +155,20 @@ def _chunk_geometry(chunk_t, count, k_offset, px, py, packed=False):
     return alpha, ep, dx, dy, active & (valid > 0.5)
 
 
-def _fwd_kernel(counts_ref, slots_ref, tril_ref, out_ref, *, k, tiles_x):
+def _fwd_kernel(counts_ref, slots_ref, out_ref, *, k, tiles_x):
     t = pl.program_id(0)
     count = counts_ref[t]
     ox, oy = _origin(t, tiles_x)
     px, py = _pixel_grids(ox, oy)
-    tril = tril_ref[:]
     n_chunks = (count + CH - 1) // CH
 
     def body(c, carry):
-        log_acc, rgb, acc, dep = carry
+        t_acc, rgb, acc, dep = carry
         chunk = slots_ref[0, :, pl.ds(pl.multiple_of(c * CH, CH), CH)]
         chunk_t = chunk.T                                # (CH, ROWS)
         alpha, _, _, _, _ = _chunk_geometry(chunk_t, count, c * CH, px, py)
-        log_t = jnp.log1p(-alpha)
-        excl = log_acc + jax.lax.dot_general(
-            tril, log_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (CH, P)
-        w = jnp.exp(excl) * alpha
+        x = _excl_prefix_prod(1.0 - alpha)
+        w = (t_acc * x) * alpha                          # (CH, P)
         color = chunk[6:9]                               # (3, CH)
         depth = chunk[9:10]
         rgb = rgb + jax.lax.dot_general(
@@ -151,13 +178,13 @@ def _fwd_kernel(counts_ref, slots_ref, tril_ref, out_ref, *, k, tiles_x):
             depth, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = acc + jnp.sum(w, axis=0, keepdims=True)
-        log_acc = log_acc + jnp.sum(log_t, axis=0, keepdims=True)
-        return log_acc, rgb, acc, dep
+        t_acc = t_acc * x[CH - 1:CH] * (1.0 - alpha[CH - 1:CH])
+        return t_acc, rgb, acc, dep
 
-    zeros1 = jnp.zeros((1, P), jnp.float32)
     _, rgb, acc, dep = jax.lax.fori_loop(
         0, n_chunks, body,
-        (zeros1, jnp.zeros((3, P), jnp.float32), zeros1, zeros1))
+        (jnp.ones((1, P), jnp.float32), jnp.zeros((3, P), jnp.float32),
+         jnp.zeros((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)))
     out_ref[0, 0:3] = rgb
     out_ref[0, 3:4] = acc
     out_ref[0, 4:5] = dep
@@ -174,14 +201,14 @@ def _bwd_kernel(counts_ref, slots_ref, tril_ref, dout_ref, dslots_ref,
     n_chunks = (count + CH - 1) // CH
     dslots_ref[0] = jnp.zeros((ROWS, k), jnp.float32)
 
-    # Pass 1: record the starting log-transmittance of each chunk.
-    def fwd_body(c, log_acc):
+    # Pass 1: record the starting transmittance of each chunk.
+    def fwd_body(c, t_acc):
         chunk_t = slots_ref[0, :, pl.ds(pl.multiple_of(c * CH, CH), CH)].T
         alpha, _, _, _, _ = _chunk_geometry(chunk_t, count, c * CH, px, py)
-        log_scratch[pl.ds(c, 1), :] = log_acc
-        return log_acc + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
+        log_scratch[pl.ds(c, 1), :] = t_acc
+        return t_acc * _prod0(1.0 - alpha)
 
-    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.zeros((1, P), jnp.float32))
+    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.ones((1, P), jnp.float32))
 
     dcol = dout_ref[0, 0:3]                    # (3, P)
     dacc = dout_ref[0, 3:4]
@@ -194,11 +221,7 @@ def _bwd_kernel(counts_ref, slots_ref, tril_ref, dout_ref, dslots_ref,
         chunk_t = chunk.T
         alpha, ep, dx, dy, active = _chunk_geometry(chunk_t, count, c * CH,
                                                     px, py)
-        log_t = jnp.log1p(-alpha)
-        excl = log_scratch[pl.ds(c, 1), :] + jax.lax.dot_general(
-            tril, log_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        trans = jnp.exp(excl)
+        trans = log_scratch[pl.ds(c, 1), :] * _excl_prefix_prod(1.0 - alpha)
         w = trans * alpha
         color_t = chunk_t[:, 6:9]              # (CH, 3)
         depth_c = chunk_t[:, 9:10]
@@ -239,15 +262,11 @@ def _bwd_kernel(counts_ref, slots_ref, tril_ref, dout_ref, dslots_ref,
 
 def _run_fwd(slots_r, counts, tiles_x, k):
     num_tiles = slots_r.shape[0]
-    tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
-            ).astype(jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec((1, ROWS, k), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CH, CH), lambda t, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, P), lambda t, c: (t, 0, 0),
@@ -259,7 +278,7 @@ def _run_fwd(slots_r, counts, tiles_x, k):
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(counts, slots_r, tril)
+    )(counts, slots_r)
 
 
 def _run_bwd(slots_r, counts, tiles_x, dout, k):
@@ -387,7 +406,7 @@ composite_tiles.defvjp(_ct_fwd, _ct_bwd)
 # ---------------------------------------------------------------------------
 
 def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
-                      tril_ref, out_ref, win_ref, *, k, tiles_x,
+                      out_ref, win_ref, *, k, tiles_x,
                       packed=False):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -399,7 +418,6 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     else:
         ox, oy = _origin(t, tiles_x)
         px, py = _pixel_grids(ox, oy)
-    tril = tril_ref[:]
     local = start % k
     aligned = (local // 8) * 8
     skip = local - aligned
@@ -416,30 +434,9 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
         alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
                                             c * CH - skip, px, py,
                                             packed=packed)
-        if packed:
-            # Inference: skip log space entirely. The exclusive
-            # transmittance is a prefix PRODUCT of (1 - alpha) — compute
-            # it with a Hillis-Steele doubling scan (7 shift+multiply
-            # passes over (CH, P)); the log1p + exp pair and the 128x128
-            # prefix matmul all disappear. Transcendentals dominate this
-            # kernel's VPU time, so dropping 2 of 3 is the win
-            # (PERF_NOTES.md).
-            x = jnp.concatenate([jnp.ones((1, P), jnp.float32),
-                                 (1.0 - alpha)[:CH - 1]], axis=0)
-            s = 1
-            while s < CH:
-                x = x * jnp.concatenate(
-                    [jnp.ones((s, P), jnp.float32), x[:CH - s]], axis=0)
-                s *= 2
-            w = (t_acc * x) * alpha                      # (CH, P)
-            t_acc = t_acc * x[CH - 1:CH] * (1.0 - alpha[CH - 1:CH])
-        else:
-            log_t = jnp.log1p(-alpha)
-            excl = t_acc + jax.lax.dot_general(
-                tril, log_t, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            w = jnp.exp(excl) * alpha
-            t_acc = t_acc + jnp.sum(log_t, axis=0, keepdims=True)
+        x = _excl_prefix_prod(1.0 - alpha)
+        w = (t_acc * x) * alpha                          # (CH, P)
+        t_acc = t_acc * x[CH - 1:CH] * (1.0 - alpha[CH - 1:CH])
         _, _, _, _, _, _, color_t, depth_c = _read_attrs(chunk_t, packed)
         rgb = rgb + jax.lax.dot_general(
             color_t, w, (((0,), (0,)), ((), ())),
@@ -450,11 +447,9 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
         acc = acc + jnp.sum(w, axis=0, keepdims=True)
         return t_acc, rgb, acc, dep
 
-    # t_acc carries log-transmittance (unpacked) or transmittance (packed).
-    init_acc = jnp.full((1, P), 1.0 if packed else 0.0, jnp.float32)
     _, rgb, acc, dep = jax.lax.fori_loop(
         0, n_chunks, body,
-        (init_acc, jnp.zeros((3, P), jnp.float32),
+        (jnp.ones((1, P), jnp.float32), jnp.zeros((3, P), jnp.float32),
          jnp.zeros((1, P), jnp.float32), jnp.zeros((1, P), jnp.float32)))
     out_ref[0, 0:3] = rgb
     out_ref[0, 3:4] = acc
@@ -484,15 +479,15 @@ def _fused_bwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     eff = jnp.minimum(count, k) + skip
     n_chunks = (eff + CH - 1) // CH
 
-    def fwd_body(c, log_acc):
+    def fwd_body(c, t_acc):
         off = aligned + c * CH
         chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]
         alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
                                             c * CH - skip, px, py)
-        log_scratch[pl.ds(c, 1), :] = log_acc
-        return log_acc + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
+        log_scratch[pl.ds(c, 1), :] = t_acc
+        return t_acc * _prod0(1.0 - alpha)
 
-    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.zeros((1, P), jnp.float32))
+    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.ones((1, P), jnp.float32))
 
     dcol = dout_ref[0, 0:3]
     dacc = dout_ref[0, 3:4]
@@ -504,11 +499,7 @@ def _fused_bwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
         chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]
         alpha, ep, dx, dy, active = _chunk_geometry(chunk_t, count,
                                                     c * CH - skip, px, py)
-        log_t = jnp.log1p(-alpha)
-        excl = log_scratch[pl.ds(c, 1), :] + jax.lax.dot_general(
-            tril, log_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        trans = jnp.exp(excl)
+        trans = log_scratch[pl.ds(c, 1), :] * _excl_prefix_prod(1.0 - alpha)
         w = trans * alpha
         color_t = chunk_t[:, 6:9]
         depth_c = chunk_t[:, 9:10]
@@ -600,15 +591,15 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     eff = jnp.minimum(count, k) + skip
     n_chunks = (eff + CH - 1) // CH
 
-    def fwd_body(c, log_acc):
+    def fwd_body(c, t_acc):
         off = aligned + c * CH
         chunk_t = win_ref[pl.ds(pl.multiple_of(off, CH), CH), :]
         alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
                                             c * CH - skip, px, py)
-        log_scratch[pl.ds(c, 1), :] = log_acc
-        return log_acc + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
+        log_scratch[pl.ds(c, 1), :] = t_acc
+        return t_acc * _prod0(1.0 - alpha)
 
-    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.zeros((1, P), jnp.float32))
+    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.ones((1, P), jnp.float32))
 
     dcol = dout_ref[0, 0:3]
     dacc = dout_ref[0, 3:4]
@@ -620,11 +611,7 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
         chunk_t = win_ref[pl.ds(pl.multiple_of(off, CH), CH), :]
         alpha, ep, dx, dy, active = _chunk_geometry(chunk_t, count,
                                                     c * CH - skip, px, py)
-        log_t = jnp.log1p(-alpha)
-        excl = log_scratch[pl.ds(c, 1), :] + jax.lax.dot_general(
-            tril, log_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        trans = jnp.exp(excl)
+        trans = log_scratch[pl.ds(c, 1), :] * _excl_prefix_prod(1.0 - alpha)
         w = trans * alpha
         color_t = chunk_t[:, 6:9]
         depth_c = chunk_t[:, 9:10]
@@ -734,16 +721,12 @@ def _stagger_specs(k, width=16):
 
 
 def _run_fused_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
-    tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
-            ).astype(jnp.float32)
     width = sorted_mat.shape[1]
     packed = width == 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=_stagger_specs(k, width) + [
-            pl.BlockSpec((CH, CH), lambda t, s, c: (0, 0),
-                         memory_space=pltpu.VMEM)],
+        in_specs=_stagger_specs(k, width),
         out_specs=pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((3 * k, width), jnp.float32)],
@@ -755,7 +738,7 @@ def _run_fused_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(starts, counts, sorted_mat, sorted_mat, sorted_mat, tril)
+    )(starts, counts, sorted_mat, sorted_mat, sorted_mat)
 
 
 def _run_fused_bwd(sorted_mat, starts, counts, dout, tiles_x, num_tiles, k):

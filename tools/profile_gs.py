@@ -150,11 +150,13 @@ def main():
         dup_valid = (tx <= t_max_x[:, None]) & (ty <= t_max_y[:, None]) & \
             vi[:, None] & (rad[:, None] > 0)
         tile_of_entry = jnp.where(dup_valid, ty * tiles_x + tx, num_tiles)
+        # Unpacked 10-channel transport (the train path's layout; the
+        # packed inference path fuses its u32 packing into
+        # gs_rasterize._sort_entries_packed and is measured above via
+        # full_raster).
         attrs = jnp.stack([m2d[:, 0], m2d[:, 1], con[:, 0], con[:, 1],
                            con[:, 2], op, col[:, 0], col[:, 1], col[:, 2],
                            dep], axis=0)
-        from nerficg_tpu.ops.gs_tiles_kernel import pack_attr_channels
-        attrs = pack_attr_channels(attrs)
         ch = jnp.broadcast_to(attrs[:, :, None],
                               attrs.shape + (D,)).reshape(attrs.shape[0], -1)
         return tile_of_entry.reshape(-1), ch, \
