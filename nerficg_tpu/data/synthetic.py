@@ -84,7 +84,7 @@ def make_synthetic_scene(root, image_size=24, n_train=8, n_test=2):
 
 
 def make_textured_scene(root, image_size=128, n_train=30, n_test=4,
-                        octaves=(4.0, 16.0, 48.0), seed=0):
+                        octaves=(3.0, 8.0, 14.0), seed=0):
     """Capacity-sensitive quality probe: an OPAQUE sphere with a
     multi-octave procedural 3D texture, rendered analytically (ray-sphere
     intersection + Lambertian shading), 2x supersampled.
@@ -93,10 +93,19 @@ def make_textured_scene(root, image_size=128, n_train=30, n_test=4,
     probe PSNR tops out ~16 dB — it ranks encode variants but cannot see
     table capacity, VERDICT r3 weak #5), an opaque view-independent
     surface is well-posed from a ring of cameras, and the highest texture
-    octave (default 48 cycles/unit) demands fine hash-grid resolution, so
-    probe PSNR responds to LOG2_HASHMAP_SIZE. Format matches the Blender
-    loader (`data/loaders/nerf.py`; reference format
-    /root/reference/src/Datasets/NeRF.py)."""
+    octave demands hashed hash-grid levels (14 cycles/unit = 1/28 of the
+    [-1,1] box -> grid res >= 56, beyond the dense collision-free range), so probe PSNR responds to LOG2_HASHMAP_SIZE. Format matches
+    the Blender loader (`data/loaders/nerf.py`; reference format
+    /root/reference/src/Datasets/NeRF.py).
+
+    GEOMETRY CONSTRAINT (cost one full debugging round): the Blender
+    loader's near plane is 2.0 (`data/loaders/nerf.py NEAR_PLANE`, the
+    reference's Blender convention) — every visible surface point must sit
+    at ray depth > 2.0 from every camera, or the marcher can never sample
+    it (the probe then trains to ~10 dB: geometry half-learned from
+    grazing rays, colors washed out).  Cameras orbit at 4.0 like the real
+    Blender-synthetic scenes; sphere radius 0.8 puts the surface at
+    t in [3.2, 4.8]."""
     import json
     import math
 
@@ -109,7 +118,7 @@ def make_textured_scene(root, image_size=128, n_train=30, n_test=4,
     phases = rng.uniform(0, 2 * np.pi, size=(len(octaves), 3))
     light = np.array([0.5, 0.7, 0.5])
     light /= np.linalg.norm(light)
-    radius = 0.5
+    radius = 0.8
 
     def texture(p):
         """Multi-octave sine texture in [0,1]^3 -> RGB, view-independent."""
@@ -147,7 +156,7 @@ def make_textured_scene(root, image_size=128, n_train=30, n_test=4,
         acc = acc.reshape(size, ss, size, ss).mean(axis=(1, 3))
         return np.clip(rgb, 0, 1), acc
 
-    def pose_on_ring(angle, elev, radius_cam=2.2):
+    def pose_on_ring(angle, elev, radius_cam=4.0):
         eye = radius_cam * np.array([
             math.cos(elev) * math.sin(angle), math.sin(elev),
             math.cos(elev) * math.cos(angle)])

@@ -269,3 +269,99 @@ class TestColmapModel:
         assert view.camera.width == 64
         assert view.rgb.shape == (48, 64, 3)
         assert ds.point_cloud is not None and len(ds.point_cloud) == 1
+
+
+class TestTexturedProbeScene:
+    """Regression guards for the capacity quality probe
+    (data/synthetic.py make_textured_scene).
+
+    Round 4 lost a day to a probe whose sphere front surface sat INSIDE the
+    Blender loader's near plane (2.0): the marcher could never sample the
+    visible surface and every capacity A/B trained to ~10 dB. These tests
+    pin (a) surface visibility beyond the near plane for every view and
+    (b) exact ray<->pixel-color pairing through the loader (in the loader's
+    rotated world frame)."""
+
+    @pytest.fixture(scope='class')
+    def textured(self, tmp_path_factory):
+        from nerficg_tpu.core.config import ConfigNode
+        from nerficg_tpu.core.registry import Datasets
+        from nerficg_tpu.data.synthetic import make_textured_scene
+        root = tmp_path_factory.mktemp('textured') / 'scene'
+        root.mkdir()
+        make_textured_scene(root, image_size=32, n_train=6, n_test=2)
+        cfg = ConfigNode({'GLOBAL': {'METHOD_TYPE': 'InstantNGP',
+                                     'DATASET_TYPE': 'NeRF',
+                                     'RANDOM_SEED': 0},
+                          'DATASET': {'PATH': str(root)},
+                          'MODEL': {}, 'RENDERER': {}, 'TRAINING': {}})
+        return Datasets.get_dataset(cfg)
+
+    @staticmethod
+    def _sphere_hits(view, radius=0.8):
+        rays = view.get_rays(with_images=True)
+        o = np.asarray(rays.origins).reshape(-1, 3)
+        d = np.asarray(rays.directions).reshape(-1, 3)
+        b = (d * o).sum(-1)
+        disc = b * b - ((o * o).sum(-1) - radius * radius)
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        hit = (disc > 0) & (t > 0)
+        return rays, o, d, t, hit
+
+    def test_surface_beyond_near_plane(self, textured):
+        near = float(textured.camera_settings.near)
+        for split in ('train', 'test'):
+            getattr(textured, split)()
+            for view in textured.views:
+                _, _, _, t, hit = self._sphere_hits(view)
+                assert hit.any()
+                assert float(t[hit].min()) > near + 0.05, (
+                    f'{split} view: visible surface at t={t[hit].min():.2f} '
+                    f'inside near plane {near}')
+
+    def test_ray_color_pairing(self, textured):
+        """Analytic texture color at each ray's hit point must match the
+        pooled training rgb (catches pose-convention and flattening-order
+        mismatches that mask-level checks cannot see)."""
+        import math
+        rng = np.random.default_rng(0)
+        octaves = (3.0, 8.0, 14.0)
+        dirs_oct = rng.normal(size=(len(octaves), 3, 3))
+        dirs_oct /= np.linalg.norm(dirs_oct, axis=-1, keepdims=True)
+        phases = rng.uniform(0, 2 * math.pi, size=(len(octaves), 3))
+        light = np.array([0.5, 0.7, 0.5])
+        light /= np.linalg.norm(light)
+
+        def texture(p):
+            c = np.full(p.shape[:-1] + (3,), 0.5)
+            amp = 0.5
+            for o, f in enumerate(octaves):
+                amp *= 0.55
+                for ch in range(3):
+                    c[..., ch] += amp * np.sin(
+                        2 * math.pi * f * (p @ dirs_oct[o, ch])
+                        + phases[o, ch])
+            return np.clip(c, 0.0, 1.0)
+
+        # The loader rotates the world (Blender -> COLMAP); undo it to
+        # evaluate the generator-frame texture.
+        from nerficg_tpu.data.loaders.nerf import BLENDER_TO_COLMAP_WORLD
+        w_inv = BLENDER_TO_COLMAP_WORLD[:3, :3].T
+        col = textured.precompute_rays('train')
+        rays = col.rays
+        o = np.asarray(rays.origins)
+        d = np.asarray(rays.directions)
+        rgb = np.asarray(rays.rgb)
+        al = np.asarray(rays.alpha).reshape(-1)
+        b = (d * o).sum(-1)
+        disc = b * b - ((o * o).sum(-1) - 0.8 ** 2)
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        hit = (disc > 0) & (t > 0)
+        p_true = (o + d * t[:, None]) @ w_inv.T
+        n_true = p_true / 0.8
+        shade = 0.35 + 0.65 * np.maximum(n_true @ light, 0.0)
+        pred = texture(p_true) * shade[:, None]
+        m = hit & (al > 0.9)
+        assert m.sum() > 200
+        corr = np.corrcoef(pred[m].ravel(), rgb[m].ravel())[0, 1]
+        assert corr > 0.9, f'ray/color pairing broken: corr={corr:.3f}'

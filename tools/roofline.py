@@ -37,16 +37,31 @@ from _common import timed
 
 
 def bw_saxpy():
-    # 2-D (8192, 8192): a flat 1-D operand of this size hits a
-    # pathological XLA:TPU layout (measured 6.7 s/call vs 3 ms here).
-    m = 8192                                        # 64M f32 = 256 MB/array
-    n = m * m
-    a = jnp.ones((m, m), jnp.float32)
-    b = jnp.ones((m, m), jnp.float32)
+    """HBM streaming rate via a CARRIED buffer: y <- y * c + 1, chained.
 
-    ms = timed(lambda x, y: x * 1.0001 + y, (a, b), iters=30,
-               label='saxpy 64M f32 (read 2, write 1)')
-    gbps = 3 * n * 4 / (ms / 1000.0) / 1e9
+    The large array must be the loop-carried value, not a re-passed
+    argument — through the axon tunnel, >~100 MB arguments are re-staged
+    per dispatch (measured: the same saxpy with 256 MB *arguments* costs
+    ~4.8 s/call; carried, it costs ~3 ms), which would measure the tunnel,
+    not HBM."""
+    m = 8192                                        # 64M f32 = 256 MB
+    n = m * m
+
+    @jax.jit
+    def step(y):
+        return y * 1.0000001 + 1e-9                 # read 256 MB, write 256 MB
+
+    import time as _t
+    y = step(jnp.ones((m, m), jnp.float32))
+    jax.block_until_ready(y)
+    iters = 50
+    start = _t.perf_counter()
+    for _ in range(iters):
+        y = step(y)
+    float(y[0, 0])
+    ms = (_t.perf_counter() - start - 0.027) / iters * 1000.0
+    gbps = 2 * n * 4 / (ms / 1000.0) / 1e9
+    print(f'saxpy-carried 64M f32 (read 1, write 1)  {ms:10.3f} ms')
     print(f'  -> HBM streaming {gbps:.1f} GB/s')
     return gbps
 
