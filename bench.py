@@ -35,25 +35,31 @@ BASELINE_RAYS_PER_SEC = 1.0e7
 BASELINE_GS_FPS = 60.0
 
 
-def measure_gs_fps() -> float:
-    """3DGS inference FPS at 1080p / 100k Gaussians through the real
-    ``render_image`` path (driver-captured counterpart of the builder-side
-    PERF_NOTES numbers; reference protocol:
-    /root/reference/scripts/inference.py:62-97 online FPS benchmark)."""
+def _make_gs_model(n_gaussians: int, model_cfg: Optional[dict] = None):
     from nerficg_tpu.core.config import ConfigNode
     from nerficg_tpu.core.registry import Methods
     from nerficg_tpu.data.types import BasicPointCloud
 
     cfg = ConfigNode({
         'GLOBAL': {'METHOD_TYPE': 'GaussianSplatting', 'RANDOM_SEED': 0},
-        'MODEL': {}, 'RENDERER': {}, 'TRAINING': {},
+        'MODEL': dict(model_cfg or {}), 'RENDERER': {}, 'TRAINING': {},
     })
     model = Methods.get_model(cfg)
     rng = np.random.default_rng(0)
-    pts = (rng.random((100_000, 3)).astype(np.float32) * 2.0 - 1.0)
-    cols = rng.random((100_000, 3)).astype(np.float32)
+    pts = (rng.random((n_gaussians, 3)).astype(np.float32) * 2.0 - 1.0)
+    cols = rng.random((n_gaussians, 3)).astype(np.float32)
     model.init_from_point_cloud(BasicPointCloud(pts, cols))
     renderer = Methods.get_renderer(cfg, model)
+    return cfg, model, renderer
+
+
+def measure_gs_fps(n_gaussians: int = 100_000, frames: int = 64) -> float:
+    """3DGS inference FPS at 1080p through the real ``render_image`` path
+    (driver-captured counterpart of the builder-side PERF_NOTES numbers;
+    reference protocol: /root/reference/scripts/inference.py:62-97 online
+    FPS benchmark). ``n_gaussians`` sets scene density (default 100k; the
+    count-scaling table in PERF_NOTES uses 100k..4M)."""
+    cfg, model, renderer = _make_gs_model(n_gaussians)
 
     h, w = 1080, 1920
     intrinsics = (0.8 * w, 0.8 * w, w / 2.0, h / 2.0, w, h)
@@ -88,7 +94,6 @@ def measure_gs_fps() -> float:
         acc = acc_fn(acc, out['rgb'])
     float(acc)
 
-    frames = 64
     acc = jnp.zeros(())
     start = time.perf_counter()
     for i in range(frames):
@@ -100,28 +105,16 @@ def measure_gs_fps() -> float:
     return frames / max(elapsed, 1e-6)
 
 
-def measure_gs_train_ms() -> float:
+def measure_gs_train_ms(n_gaussians: int = 100_000, iters: int = 30) -> float:
     """3DGS training-step wall time (fwd+bwd+adam, L1+DSSIM loss) at
-    1080p / 100k Gaussians — the driver-capturable counterpart of the
-    PERF_NOTES train budget (VERDICT r3 next #4; reference train loop:
+    1080p — the driver-capturable counterpart of the PERF_NOTES train
+    budget (VERDICT r3 next #4; reference train loop:
     /root/reference/src/Methods/GaussianSplatting/Trainer.py)."""
     import optax
 
-    from nerficg_tpu.core.config import ConfigNode
-    from nerficg_tpu.core.registry import Methods
-    from nerficg_tpu.data.types import BasicPointCloud
     from nerficg_tpu.optim.losses import dssim as dssim_fn
 
-    cfg = ConfigNode({
-        'GLOBAL': {'METHOD_TYPE': 'GaussianSplatting', 'RANDOM_SEED': 0},
-        'MODEL': {}, 'RENDERER': {}, 'TRAINING': {},
-    })
-    model = Methods.get_model(cfg)
-    rng = np.random.default_rng(0)
-    pts = (rng.random((100_000, 3)).astype(np.float32) * 2.0 - 1.0)
-    cols = rng.random((100_000, 3)).astype(np.float32)
-    model.init_from_point_cloud(BasicPointCloud(pts, cols))
-    renderer = Methods.get_renderer(cfg, model)
+    cfg, model, renderer = _make_gs_model(n_gaussians)
 
     h, w = 1080, 1920
     intrinsics = (0.8 * w, 0.8 * w, w / 2.0, h / 2.0, w, h)
@@ -160,7 +153,6 @@ def measure_gs_train_ms() -> float:
     c = jnp.zeros(())
     c, params, opt_state = step(c, params, opt_state)
     float(c)
-    iters = 30
     start = time.perf_counter()
     for _ in range(iters):
         c, params, opt_state = step(c, params, opt_state)
@@ -274,7 +266,8 @@ def main(model_overrides: Optional[dict] = None,
 
 def main_quality(model_overrides: Optional[dict] = None,
                  iterations: int = 1500, image_size: int = 64,
-                 dynamic: bool = False, scene: str = 'blob') -> None:
+                 dynamic: bool = False, scene: str = 'blob',
+                 renderer_overrides: Optional[dict] = None) -> None:
     """--quality: end-to-end PSNR probe — procedural Blender-format scene,
     Instant-NGP iterations through the real loader/trainer path, test-split
     PSNR as the metric. Anchors the throughput numbers with a
@@ -314,7 +307,7 @@ def main_quality(model_overrides: Optional[dict] = None,
                    'RANDOM_SEED': 0},
         'DATASET': {'PATH': str(root)},
         'MODEL': model_cfg,
-        'RENDERER': {'MAX_SAMPLES': 256},
+        'RENDERER': {'MAX_SAMPLES': 256, **(renderer_overrides or {})},
         'TRAINING': {'NUM_ITERATIONS': int(iterations),
                      'INITIAL_RAYS_PER_BATCH': 2048,
                      'TARGET_BATCH_SIZE': 65536, 'RENDER_TESTSET': False,
@@ -347,6 +340,7 @@ def main_quality(model_overrides: Optional[dict] = None,
         'train_seconds': round(train_s, 1),
         'scene': ('dynamic' if dynamic else scene),
         'model_overrides': model_overrides or {},
+        'renderer_overrides': renderer_overrides or {},
         'vs_baseline': 0.0,
     }))
 
@@ -383,6 +377,7 @@ if __name__ == '__main__':
     if args.quality:
         main_quality(_parse(args.model), iterations=args.iters,
                      image_size=args.image_size, dynamic=args.dynamic,
-                     scene=args.scene)
+                     scene=args.scene,
+                     renderer_overrides=_parse(args.renderer))
     else:
         main(_parse(args.model), _parse(args.renderer))

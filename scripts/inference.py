@@ -23,18 +23,25 @@ from nerficg_tpu.core.setup import setup, teardown
 def benchmark_fps(renderer, dataset, subset: str = 'test', repeats: int = 100,
                   output_dir: Path | None = None, iterations: int = 0) -> float:
     """Online FPS benchmark (reference: inference.py:62-97)."""
-    from nerficg_tpu.core.setup import device_sync
+    import jax.numpy as jnp
+
     views = dataset.subsets[subset] or dataset.subsets['train']
     # Warmup/compile pass.
     out = renderer.render_image(views[0])
-    device_sync(out['rgb'])
+    # Timing fence: chain every frame into an on-device accumulator and fetch
+    # it once — end-only syncs of un-fetched executions are untrustworthy
+    # through the axon tunnel (PERF_NOTES "Benchmarking through the axon
+    # tunnel"); a data dependency is the only reliable fence.
+    acc = jnp.zeros(()) + jnp.asarray(out['rgb']).ravel()[0] * 1e-20
+    float(acc)
     start = time.perf_counter()
     count = 0
     for _ in range(repeats):
         for view in views:
             out = renderer.render_image(view)
+            acc = acc + jnp.asarray(out['rgb']).ravel()[0] * 1e-20
             count += 1
-    device_sync(out['rgb'])
+    float(acc)
     elapsed = time.perf_counter() - start
     fps = count / elapsed
     Logger.info(f'benchmark: {count} renders in {elapsed:.2f}s -> {fps:.2f} FPS')
