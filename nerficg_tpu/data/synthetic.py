@@ -9,6 +9,8 @@ transforms with per-frame ``time``.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
 __all__ = ['make_synthetic_scene', 'make_dynamic_scene',
@@ -16,6 +18,7 @@ __all__ = ['make_synthetic_scene', 'make_dynamic_scene',
 
 
 def make_synthetic_scene(root, image_size=24, n_train=8, n_test=2):
+    root = Path(root)
     import json
     import math
 
@@ -106,6 +109,7 @@ def make_textured_scene(root, image_size=128, n_train=30, n_test=4,
     grazing rays, colors washed out).  Cameras orbit at 4.0 like the real
     Blender-synthetic scenes; sphere radius 0.8 puts the surface at
     t in [3.2, 4.8]."""
+    root = Path(root)
     import json
     import math
 
@@ -196,6 +200,7 @@ def make_textured_scene(root, image_size=128, n_train=30, n_test=4,
 
 
 def make_dynamic_scene(root, image_size=24, n_train=10, n_test=3):
+    root = Path(root)
     import json
     import math
 
