@@ -57,8 +57,8 @@ def measure_gs_fps(n_gaussians: int = 100_000, frames: int = 64) -> float:
     """3DGS inference FPS at 1080p through the real ``render_image`` path
     (driver-captured counterpart of the builder-side PERF_NOTES numbers;
     reference protocol: /root/reference/scripts/inference.py:62-97 online
-    FPS benchmark). ``n_gaussians`` sets scene density (default 100k; the
-    count-scaling table in PERF_NOTES uses 100k..4M)."""
+    FPS benchmark). ``n_gaussians`` sets scene density (default 100k;
+    ``tools/gs_scale.py`` sweeps higher counts)."""
     cfg, model, renderer = _make_gs_model(n_gaussians)
 
     h, w = 1080, 1920
