@@ -35,6 +35,7 @@ Slot layout (matches rasterize_gaussians): rows
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +47,13 @@ __all__ = ['composite_tiles', 'composite_sorted']
 TILE = 16
 P = TILE * TILE           # pixels per tile
 ROWS = 16                 # padded attribute rows (10 used)
-CH = 128                  # gaussians per chunk (dynamic trip count;
-                          # 128 = lane granularity of dynamic slices)
+CH = int(os.environ.get('NERFICG_GS_CH', '128'))
+                          # gaussians per chunk (dynamic trip count).
+                          # Mean tile occupancy is ~0.4K, so smaller chunks
+                          # waste fewer masked rows but run more loop trips
+                          # (and the suffix-sum tril matmul is R*CH*P FLOPs
+                          # — linear in CH at equal rows); env-overridable
+                          # for A/B (stream backward needs k % CH == 0).
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
@@ -406,8 +412,12 @@ composite_tiles.defvjp(_ct_fwd, _ct_bwd)
 # ---------------------------------------------------------------------------
 
 def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
-                      out_ref, win_ref, *, k, tiles_x,
-                      packed=False):
+                      out_ref, *rest, k, tiles_x,
+                      packed=False, save_tacc=False):
+    if save_tacc:
+        tacc_ref, win_ref = rest
+    else:
+        win_ref, = rest
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -419,18 +429,27 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
         ox, oy = _origin(t, tiles_x)
         px, py = _pixel_grids(ox, oy)
     local = start % k
-    aligned = (local // 8) * 8
+    # save_tacc mode chunks CH-aligned so the saved per-chunk transmittance
+    # lines up with the stream backward's CH-aligned chunks (its pass 1 —
+    # a full geometry+exp sweep — then never runs).  The price is up to
+    # CH-1 (vs 7) masked foreign rows per tile in the forward.
+    align = CH if save_tacc else 8
+    aligned = (local // align) * align
     skip = local - aligned
     win_ref[pl.ds(0, k), :] = b0_ref[:]
     win_ref[pl.ds(k, k), :] = b1_ref[:]
     win_ref[pl.ds(2 * k, k), :] = b2_ref[:]
     eff = jnp.minimum(count, k) + skip
     n_chunks = (eff + CH - 1) // CH
+    if save_tacc:
+        tacc_ref[0] = jnp.ones_like(tacc_ref[0])
 
     def body(c, carry):
         t_acc, rgb, acc, dep = carry
         off = aligned + c * CH
-        chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]
+        chunk_t = win_ref[pl.ds(pl.multiple_of(off, align), CH), :]
+        if save_tacc:
+            tacc_ref[0, pl.ds(c, 1), :] = t_acc
         alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
                                             c * CH - skip, px, py,
                                             packed=packed)
@@ -539,8 +558,8 @@ def _fused_bwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
 
 
 def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
-                             tril_ref, dout_ref, o0_ref, o1_ref, win_ref,
-                             log_scratch, *, k, tiles_x):
+                             tril_ref, dout_ref, *rest, k, tiles_x,
+                             has_tacc=False):
     """Backward that accumulates entry gradients DIRECTLY in stream layout.
 
     The slot-space detour (write (T, k+KPAD, 16) d_slots, route to entries
@@ -564,9 +583,17 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
         (see _run_fused_bwd_stream) — their HBM content is undefined.
 
     The alignment price: up to CH-1 (vs 7) masked foreign rows re-processed
-    per tile — ~1.2x chunk work for the backward only; the forward keeps
-    its 8-aligned windows.
+    per tile — ~1.2x chunk work.
+
+    With ``has_tacc`` the per-chunk starting transmittance comes saved from
+    the forward (which then also chunks CH-aligned) and pass 1 — a full
+    geometry + exp sweep per tile — is skipped entirely (round 5).
     """
+    if has_tacc:
+        tacc_ref, o0_ref, o1_ref, win_ref = rest
+        log_scratch = None
+    else:
+        o0_ref, o1_ref, win_ref, log_scratch = rest
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -591,15 +618,17 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     eff = jnp.minimum(count, k) + skip
     n_chunks = (eff + CH - 1) // CH
 
-    def fwd_body(c, t_acc):
-        off = aligned + c * CH
-        chunk_t = win_ref[pl.ds(pl.multiple_of(off, CH), CH), :]
-        alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
-                                            c * CH - skip, px, py)
-        log_scratch[pl.ds(c, 1), :] = t_acc
-        return t_acc * _prod0(1.0 - alpha)
+    if not has_tacc:
+        def fwd_body(c, t_acc):
+            off = aligned + c * CH
+            chunk_t = win_ref[pl.ds(pl.multiple_of(off, CH), CH), :]
+            alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
+                                                c * CH - skip, px, py)
+            log_scratch[pl.ds(c, 1), :] = t_acc
+            return t_acc * _prod0(1.0 - alpha)
 
-    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.ones((1, P), jnp.float32))
+        jax.lax.fori_loop(0, n_chunks, fwd_body,
+                          jnp.ones((1, P), jnp.float32))
 
     dcol = dout_ref[0, 0:3]
     dacc = dout_ref[0, 3:4]
@@ -611,7 +640,11 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
         chunk_t = win_ref[pl.ds(pl.multiple_of(off, CH), CH), :]
         alpha, ep, dx, dy, active = _chunk_geometry(chunk_t, count,
                                                     c * CH - skip, px, py)
-        trans = log_scratch[pl.ds(c, 1), :] * _excl_prefix_prod(1.0 - alpha)
+        if has_tacc:
+            t_start = tacc_ref[0, pl.ds(c, 1), :]
+        else:
+            t_start = log_scratch[pl.ds(c, 1), :]
+        trans = t_start * _excl_prefix_prod(1.0 - alpha)
         w = trans * alpha
         color_t = chunk_t[:, 6:9]
         depth_c = chunk_t[:, 9:10]
@@ -666,37 +699,52 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
 
 
 def _run_fused_bwd_stream(sorted_mat, starts, counts, dout, tiles_x,
-                          num_tiles, k):
-    """d_sorted (E_pad, 16) via the stream-accumulating backward kernel."""
+                          num_tiles, k, tacc=None):
+    """d_sorted (E_pad, 16) via the stream-accumulating backward kernel.
+
+    ``tacc`` (T, nc, P): per-chunk starting transmittance saved by the
+    forward (save_tacc=True) — skips the backward's pass-1 geometry sweep.
+    """
     assert k % CH == 0, 'stream backward needs k % CH == 0'
     e_pad = sorted_mat.shape[0]
     eb = e_pad // k
     tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
             ).astype(jnp.float32)
+    has_tacc = tacc is not None
+    in_specs = _stagger_specs(k) + [
+        pl.BlockSpec((CH, CH), lambda t, s, c: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
+                     memory_space=pltpu.VMEM)]
+    inputs = (sorted_mat, sorted_mat, sorted_mat, tril, dout)
+    scratch = [pltpu.VMEM((3 * k, 16), jnp.float32)]
+    if has_tacc:
+        nc = tacc.shape[1]
+        in_specs.append(pl.BlockSpec((1, nc, P), lambda t, s, c: (t, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs = inputs + (tacc,)
+    else:
+        scratch.append(pltpu.VMEM((k // CH + 2, P), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=_stagger_specs(k) + [
-            pl.BlockSpec((CH, CH), lambda t, s, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, k, 16), lambda t, s, c: (s[t] // k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, 16), lambda t, s, c: (s[t] // k + 1, 0, 0),
                          memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((3 * k, 16), jnp.float32),
-                        pltpu.VMEM((k // CH + 2, P), jnp.float32)],
+        scratch_shapes=scratch,
     )
     o0, o1 = pl.pallas_call(
-        functools.partial(_fused_bwd_stream_kernel, k=k, tiles_x=tiles_x),
+        functools.partial(_fused_bwd_stream_kernel, k=k, tiles_x=tiles_x,
+                          has_tacc=has_tacc),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((eb, k, 16), jnp.float32),
                    jax.ShapeDtypeStruct((eb, k, 16), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(starts, counts, sorted_mat, sorted_mat, sorted_mat, tril, dout)
+    )(starts, counts, *inputs)
     # Blocks an operand never visited hold undefined HBM content; a block b
     # is visited by operand 0 iff some tile starts inside it, and by
     # operand 1 iff some tile starts in block b-1.
@@ -720,22 +768,37 @@ def _stagger_specs(k, width=16):
     ]
 
 
-def _run_fused_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
+def _n_chunk_rows(k):
+    """Rows of the saved per-chunk transmittance array (>= max n_chunks)."""
+    return k // CH + 2
+
+
+def _run_fused_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k,
+                   save_tacc=False):
     width = sorted_mat.shape[1]
     packed = width == 8
+    out_spec = pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((num_tiles, 8, P), jnp.float32)
+    if save_tacc:
+        nc = _n_chunk_rows(k)
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, nc, P), lambda t, s, c: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((num_tiles, nc, P), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=_stagger_specs(k, width),
-        out_specs=pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((3 * k, width), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_fused_fwd_kernel, k=k, tiles_x=tiles_x,
-                          packed=packed),
+                          packed=packed, save_tacc=save_tacc),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, P), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(starts, counts, sorted_mat, sorted_mat, sorted_mat)
@@ -833,16 +896,23 @@ def _cs_jnp(sorted_mat, starts, counts, tiles_x, num_tiles, k):
 def _cs_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
     starts = starts.astype(jnp.int32)
     counts = counts.astype(jnp.int32)
+    tacc = None
     if jax.default_backend() == 'tpu':
-        out = _run_fused_fwd(sorted_mat, starts, counts, tiles_x,
-                             num_tiles, k)
+        # Train (16-wide) layout: save per-chunk transmittance so the
+        # stream backward skips its pass-1 geometry sweep.
+        if sorted_mat.shape[1] == 16 and k % CH == 0:
+            out, tacc = _run_fused_fwd(sorted_mat, starts, counts, tiles_x,
+                                       num_tiles, k, save_tacc=True)
+        else:
+            out = _run_fused_fwd(sorted_mat, starts, counts, tiles_x,
+                                 num_tiles, k)
     else:
         out = _cs_jnp(sorted_mat, starts, counts, tiles_x, num_tiles, k)
-    return out, (sorted_mat, starts, counts)
+    return out, (sorted_mat, starts, counts, tacc)
 
 
 def _cs_bwd(tiles_x, num_tiles, k, res, dout):
-    sorted_mat, starts, counts = res
+    sorted_mat, starts, counts, tacc = res
     if sorted_mat.shape[1] == 8:
         raise NotImplementedError(
             'the packed (inference) stream layout is not differentiable; '
@@ -858,7 +928,7 @@ def _cs_bwd(tiles_x, num_tiles, k, res, dout):
         # entry rows — no slot detour, no routing sort (44 ms at
         # 1080p/100k, round-4 measurement).
         d_sorted = _run_fused_bwd_stream(sorted_mat, starts, counts, dout,
-                                         tiles_x, num_tiles, k)
+                                         tiles_x, num_tiles, k, tacc=tacc)
         return d_sorted, None, None
     d_slots = _run_fused_bwd(sorted_mat, starts, counts, dout, tiles_x,
                              num_tiles, k)                 # (T, k+KPAD, 16)

@@ -31,36 +31,28 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
-def _band_matrix(n: int, kernel: jnp.ndarray) -> jnp.ndarray:
-    """(n, n-k+1) banded matrix B with B[i, j] = kernel[i - j] ('valid').
-
-    Built from constants, so XLA folds it at compile time; multiplying by it
-    IS the 1-D 'valid' convolution."""
-    k = kernel.shape[0]
-    out = n - k + 1
-    d = jnp.arange(n)[:, None] - jnp.arange(out)[None, :]
-    taps = kernel[jnp.clip(d, 0, k - 1)]
-    return jnp.where((d >= 0) & (d < k), taps, 0.0)
-
-
 def _filter2d_separable(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Separable gaussian filter on (H, W, C), 'valid' padding.
 
     TPU note: a grouped depthwise conv with C=3 single-channel groups maps
     pathologically onto the MXU (measured 2.4 s for the five 1080p SSIM maps
-    round 4); a banded-matrix matmul per direction is the native form —
-    the whole 11-tap filter is two batched matmuls (~0.2 ms at 1080p).
-    Precision HIGHEST keeps the metric f32-exact (default TPU matmul
-    precision is bf16)."""
-    h, w, _ = img.shape
-    bh = _band_matrix(h, kernel)                       # (H, H')
-    bw = _band_matrix(w, kernel)                       # (W, W')
+    round 4); a banded-matrix matmul was the round-4 fix (24 ms for the five
+    maps) but >99% of its MXU work multiplies structural zeros (11-wide band
+    in a 1920-wide matrix) at 6-pass HIGHEST precision.  The native form for
+    an 11-tap FIR is k shifted fused multiply-adds on the VPU — exact f32,
+    ~k*H*W*C FLOPs total, and its VJP is the same pattern transposed."""
+    k = kernel.shape[0]
     x = img.transpose(2, 0, 1)                         # (C, H, W)
-    x = jnp.einsum('chw,wW->chW', x, bw,
-                   precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum('chW,hH->cHW', x, bh,
-                   precision=jax.lax.Precision.HIGHEST)
-    return x.transpose(1, 2, 0)
+    w_out = x.shape[2] - k + 1
+    acc = kernel[0] * jax.lax.slice_in_dim(x, 0, w_out, axis=2)
+    for i in range(1, k):
+        acc = acc + kernel[i] * jax.lax.slice_in_dim(x, i, i + w_out, axis=2)
+    h_out = x.shape[1] - k + 1
+    out = kernel[0] * jax.lax.slice_in_dim(acc, 0, h_out, axis=1)
+    for i in range(1, k):
+        out = out + kernel[i] * jax.lax.slice_in_dim(acc, i, i + h_out,
+                                                     axis=1)
+    return out.transpose(1, 2, 0)
 
 
 def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,

@@ -162,6 +162,37 @@ class TestCompositeSorted:
         np.testing.assert_allclose(np.asarray(d), np.asarray(dref),
                                    atol=2e-3, rtol=1e-3)
 
+    def test_fwd_save_tacc_matches_fallback(self, rng):
+        """CH-aligned forward with saved per-chunk transmittance: same
+        composite output, and the tacc residual feeds the backward."""
+        mat, starts, counts = self._stream(rng)
+        ref = gtk._cs_jnp(mat, starts, counts, 1000000, 5, 128)
+        with _interp():
+            out, tacc = gtk._run_fused_fwd(mat, starts, counts, 1000000,
+                                           5, 128, save_tacc=True)
+        np.testing.assert_allclose(np.asarray(out[:, :5]),
+                                   np.asarray(ref[:, :5]), atol=1e-5)
+        assert tacc.shape == (5, gtk._n_chunk_rows(128), gtk.P)
+
+    def test_stream_bwd_with_tacc_matches_fallback(self, rng):
+        """Pass-1-free stream backward (fed the forward's saved
+        transmittance) vs the oracle gradients."""
+        mat, starts, counts = self._stream(rng)
+        dout = jax.random.normal(jax.random.PRNGKey(5), (5, 8, gtk.P))
+
+        def loss_ref(sm):
+            return jnp.sum(gtk._cs_jnp(sm, starts, counts, 1000000, 5, 128)
+                           * dout)
+
+        dref = jax.grad(loss_ref)(mat)
+        with _interp():
+            _, tacc = gtk._run_fused_fwd(mat, starts, counts, 1000000,
+                                         5, 128, save_tacc=True)
+            d = gtk._run_fused_bwd_stream(mat, starts, counts, dout,
+                                          1000000, 5, 128, tacc=tacc)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(dref),
+                                   atol=2e-3, rtol=1e-3)
+
     def test_custom_vjp_roundtrip_cpu(self, rng):
         mat, starts, counts = self._stream(rng)
 

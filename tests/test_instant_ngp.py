@@ -298,6 +298,44 @@ class TestInstantNGPEndToEnd:
                          'PRELOAD_DATASET': False},
         })
 
+    def test_carve_matches_per_view_oracle(self, tiny_config,
+                                           synthetic_dataset, tmp_path):
+        """The batched single-dispatch frustum carve (round 5: one jitted
+        projection over stacked w2c matrices instead of ~6 eager device
+        round trips per view) must reproduce the per-view projection loop."""
+        from nerficg_tpu.core.registry import Datasets, Methods
+        from nerficg_tpu.core.setup import Directories
+        from nerficg_tpu.ops.occupancy import cascade_cell_positions
+        Directories.base = tmp_path / 'output'
+        dataset = Datasets.get_dataset(tiny_config,
+                                       path=str(synthetic_dataset))
+        trainer = Methods.get_training_instance(tiny_config)
+        renderer = trainer.renderer
+        views = dataset.train().views
+        renderer.carve_occupancy_grid(views, dilate=0)
+        got = np.asarray(renderer.model.buffers['carve_mask']).astype(bool)
+
+        res = int(renderer.model.GRID_RESOLUTION)
+        total = renderer._cascades * res ** 3
+        centers = np.asarray(cascade_cell_positions(
+            jnp.arange(total, dtype=jnp.int32),
+            jnp.full((total, 3), 0.5), renderer.model.center,
+            float(renderer.model.SCALE), res, renderer._cascades),
+            np.float64)
+        want = np.zeros(total, bool)
+        for view in views:
+            pix = view.project_points(centers)
+            w, h = view.camera.width, view.camera.height
+            margin = 0.1 * max(w, h)
+            want |= (pix[:, 2] > 0) & \
+                (pix[:, 0] > -margin) & (pix[:, 0] < w + margin) & \
+                (pix[:, 1] > -margin) & (pix[:, 1] < h + margin)
+        # f32-vs-f64 projection rounding may flip cells sitting exactly on
+        # the frustum margin; demand identity away from that knife edge.
+        diff = got != want
+        assert diff.mean() < 0.005, f'carve mismatch: {diff.mean():.4f}'
+        assert got.any()
+
     def test_trains_on_synthetic_scene(self, tiny_config, synthetic_dataset,
                                        tmp_path):
         from nerficg_tpu.core.registry import Datasets, Methods

@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-5 phase 2: TPU measurements that depend on the round-5 kernel work
+# (GS tacc backward, FIR SSIM) and on the battery's trained outputs.
+# Same resumable pattern as round5_battery.sh. Run AFTER the battery exits.
+cd "$(dirname "$0")/.." || exit 1
+R=tools/results_r5
+mkdir -p $R
+
+have() { [ -f "$1" ] && grep -q '^{' "$1"; }
+havetxt() { [ -f "$1" ] && [ -s "$1" ]; }
+
+run() { # run <outfile> <cmd...>
+  local out=$1; shift
+  if have "$out"; then echo "SKIP $out"; return; fi
+  echo "RUN  $out: $*"
+  timeout 2400 "$@" >"$out" 2>&1 || echo "FAIL $out (rc=$?)"
+}
+
+# --- 1. GS train step with the round-5 kernel work (tacc bwd + FIR SSIM) ---
+run $R/gs_train_profile.json python tools/profile_gs.py --which train
+
+# --- 2. GS chunk-size A/B (NERFICG_GS_CH; stream bwd needs k % CH == 0) ---
+for C in 64 128 256; do
+  if ! have $R/gs_train_ch$C.json; then
+    echo "RUN  gs_train_ch$C"
+    NERFICG_GS_CH=$C timeout 2400 python tools/profile_gs.py --which train \
+        >$R/gs_train_ch$C.json 2>&1 || echo "FAIL ch$C"
+  fi
+done
+
+# --- 3. INGP step stage profile (attack plan for the non-encode 4.6 ms) ---
+run $R/ingp_profile.json python tools/profile_ingp.py --which step
+
+# --- 4. end-to-end inference.py -b (VERDICT r4 #6) ---
+if ! havetxt $R/e2e_inference.txt; then
+  python -c "from nerficg_tpu.data.synthetic import make_textured_scene; \
+             make_textured_scene('.bench_scenes/textured', image_size=400)"
+  timeout 2400 python scripts/train.py -c configs/ingp_e2e_bench.yaml \
+      > $R/e2e_train.log 2>&1 || echo "FAIL e2e train"
+  RUN_DIR=$(ls -dt output/InstantNGPModel/e2e_bench_* 2>/dev/null | head -1)
+  if [ -n "$RUN_DIR" ]; then
+    timeout 2400 python scripts/inference.py -d "$RUN_DIR" -b --repeats 25 \
+        > $R/e2e_inference.txt 2>&1 || echo "FAIL e2e inference"
+    cp "$RUN_DIR"/performance_*.txt $R/ 2>/dev/null
+  fi
+fi
+
+# --- 5. headline bench with the round-5 kernels ---
+run $R/bench_headline.json python bench.py
+
+echo "PHASE2 DONE $(date)"
