@@ -9,6 +9,7 @@ import time
 from pathlib import Path
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -159,17 +160,71 @@ class BaseDataset(Configurable):
     # -- ray precompute -----------------------------------------------------------------
     def precompute_rays(self, subset: str = 'train') -> RayCollection:
         """Precompute all rays of a subset into one RayBatch pool
-        (reference: Datasets/Base.py:172-216)."""
+        (reference: Datasets/Base.py:172-216).
+
+        When every view shares one camera (all in-repo loaders), rays for
+        ALL views are generated in one jitted dispatch over stacked c2w
+        matrices and images land in one host-side stack + one upload per
+        field. The per-view ``get_rays`` loop costs several eager
+        host<->device round trips per view — 20-30 s of pure dispatch
+        latency per training run on the tunneled TPU (round-5 timings)."""
+        views = self.subsets[subset]
+        if not views:
+            raise DatasetError(f'no views in subset {subset!r}')
+        camera = views[0].camera
+        if all(v.camera is camera for v in views):
+            batch = self._precompute_rays_batched(views, camera)
+            n = camera.width * camera.height
+            slices = [(i * n, (i + 1) * n) for i in range(len(views))]
+            self.ray_collection = RayCollection(batch, slices)
+            return self.ray_collection
         batches, slices, offset = [], [], 0
-        for view in self.subsets[subset]:
+        for view in views:
             rays = view.get_rays()
             batches.append(rays)
             slices.append((offset, offset + len(rays)))
             offset += len(rays)
-        if not batches:
-            raise DatasetError(f'no views in subset {subset!r}')
         self.ray_collection = RayCollection(RayBatch.cat(batches), slices)
         return self.ray_collection
+
+    @staticmethod
+    def _precompute_rays_batched(views, camera) -> RayBatch:
+        local_dirs = camera.local_ray_directions()          # (N, 3) device
+        c2w = jnp.asarray(np.stack([v.c2w for v in views]), jnp.float32)
+
+        @jax.jit
+        def gen(dirs_local, c2w_stack):
+            rot = c2w_stack[:, :3, :3]                       # (V, 3, 3)
+            t = c2w_stack[:, :3, 3]                          # (V, 3)
+            d = jnp.einsum('nj,vij->vni', dirs_local, rot)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            o = jnp.broadcast_to(t[:, None, :], d.shape)
+            return o.reshape(-1, 3), d.reshape(-1, 3)
+
+        origins, directions = gen(local_dirs, c2w)
+        v, n = len(views), camera.width * camera.height
+
+        def stack_images(slot):
+            if not all(getattr(view, f'{slot}_data').exists()
+                       for view in views):
+                return None
+            host = np.stack([np.asarray(getattr(view, slot)).reshape(n, -1)
+                             for view in views])
+            return jnp.asarray(host.reshape(v * n, -1), jnp.float32)
+
+        timestamps = jnp.asarray(
+            np.repeat(np.asarray([view.timestamp for view in views],
+                                 np.float32), n)[:, None])
+        view_ids = jnp.asarray(
+            np.repeat(np.asarray([view.global_frame_idx for view in views],
+                                 np.int32), n)[:, None])
+        pixel_ids = jnp.asarray(
+            np.tile(np.arange(n, dtype=np.int32), v)[:, None])
+        return RayBatch(origins=origins, directions=directions,
+                        view_directions=directions,
+                        rgb=stack_images('rgb'), alpha=stack_images('alpha'),
+                        depth=stack_images('depth'), timestamps=timestamps,
+                        pixel_ids=pixel_ids, view_ids=view_ids)
 
     def preload(self, to_ram: bool = True) -> None:
         """Prefetch all images (reference: Trainer.py:122-161 preload levels)."""

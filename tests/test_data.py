@@ -213,6 +213,28 @@ class TestNeRFDataset:
         assert len(collection.rays) == 8 * 24 * 24
         assert collection.rays.rgb is not None
 
+    def test_precompute_rays_batched_matches_per_view(self, synthetic_dataset):
+        """The shared-camera batched fast path must reproduce the per-view
+        reference path bit-for-bit in structure and near-exactly in value."""
+        from nerficg_tpu.core.registry import Datasets
+        from nerficg_tpu.data.types import RayBatch
+        config = ConfigNode({'DATASET': {'PATH': str(synthetic_dataset)}})
+        ds = Datasets.get_dataset(config, name='NeRF')
+        views = ds.subsets['train']
+        batched = ds._precompute_rays_batched(views, views[0].camera)
+        reference = RayBatch.cat([v.get_rays() for v in views])
+        for field in ('origins', 'directions', 'view_directions', 'rgb',
+                      'alpha', 'timestamps'):
+            a, b = getattr(batched, field), getattr(reference, field)
+            assert (a is None) == (b is None), field
+            if a is not None:
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5, err_msg=field)
+        np.testing.assert_array_equal(np.asarray(batched.pixel_ids),
+                                      np.asarray(reference.pixel_ids))
+        np.testing.assert_array_equal(np.asarray(batched.view_ids),
+                                      np.asarray(reference.view_ids))
+
 
 class TestAllLoadersImportable:
     def test_all_registered_loaders_resolve(self):
