@@ -267,7 +267,8 @@ def main(model_overrides: Optional[dict] = None,
 def main_quality(model_overrides: Optional[dict] = None,
                  iterations: int = 1500, image_size: int = 64,
                  dynamic: bool = False, scene: str = 'blob',
-                 renderer_overrides: Optional[dict] = None) -> None:
+                 renderer_overrides: Optional[dict] = None,
+                 eval_every: int = 0, seed: int = 0) -> None:
     """--quality: end-to-end PSNR probe — procedural Blender-format scene,
     Instant-NGP iterations through the real loader/trainer path, test-split
     PSNR as the metric. Anchors the throughput numbers with a
@@ -304,7 +305,7 @@ def main_quality(model_overrides: Optional[dict] = None,
     dataset_type = 'DNeRF' if dynamic else 'NeRF'
     cfg = ConfigNode({
         'GLOBAL': {'METHOD_TYPE': method, 'DATASET_TYPE': dataset_type,
-                   'RANDOM_SEED': 0},
+                   'RANDOM_SEED': int(seed)},
         'DATASET': {'PATH': str(root)},
         'MODEL': model_cfg,
         'RENDERER': {'MAX_SAMPLES': 256, **(renderer_overrides or {})},
@@ -316,22 +317,51 @@ def main_quality(model_overrides: Optional[dict] = None,
     ctx = setup(config=cfg)
     trainer = Methods.get_training_instance(cfg)
     dataset = Datasets.get_dataset(cfg)
-    start = time.perf_counter()
-    trainer.run(dataset)
-    train_s = time.perf_counter() - start
-    # test-split PSNR
     import numpy as np
 
     from nerficg_tpu.optim.metrics import psnr
-    dataset.test()
-    vals = []
-    for view in dataset.views:
-        out = trainer.renderer.render_image(view)
-        gt = np.asarray(view.rgb)
-        alpha = np.asarray(view.alpha)
-        bg = np.asarray(view.camera.background_color)
-        gt = gt * alpha + bg * (1 - alpha)
-        vals.append(float(psnr(np.clip(np.asarray(out['rgb']), 0, 1), gt)))
+
+    def test_psnr():
+        dataset.test()
+        vals = []
+        for view in dataset.views:
+            out = trainer.renderer.render_image(view)
+            gt = np.asarray(view.rgb)
+            alpha = np.asarray(view.alpha)
+            bg = np.asarray(view.camera.background_color)
+            gt = gt * alpha + bg * (1 - alpha)
+            vals.append(float(psnr(np.clip(np.asarray(out['rgb']), 0, 1),
+                                   gt)))
+        dataset.train()
+        return vals
+
+    start = time.perf_counter()
+    if eval_every > 0:
+        # Convergence-curve mode: drive the trainer's callback loop inline
+        # (mirrors BaseTrainer.run) and eval the test split periodically.
+        from nerficg_tpu.methods.base.callbacks import (MAIN, POST, PRE,
+                                                        gather_callbacks)
+        for _meta, cb in gather_callbacks(trainer, PRE):
+            cb(dataset)
+        main_callbacks = gather_callbacks(trainer, MAIN)
+        for iteration in range(int(iterations)):
+            trainer.iteration = iteration
+            for meta, cb in main_callbacks:
+                if meta.is_due(iteration):
+                    cb(dataset, iteration)
+            trainer.model.num_iterations_trained = iteration + 1
+            if (iteration + 1) % eval_every == 0:
+                vals = test_psnr()
+                print(json.dumps(
+                    {'iteration': iteration + 1,
+                     'psnr': round(sum(vals) / len(vals), 2)}), flush=True)
+        for _meta, cb in gather_callbacks(trainer, POST):
+            cb(dataset)
+    else:
+        trainer.run(dataset)
+    train_s = time.perf_counter() - start
+    # test-split PSNR
+    vals = test_psnr()
     print(json.dumps({
         'metric': ('dnerf_quality_probe_psnr' if dynamic
                    else 'instant_ngp_quality_probe_psnr'),
@@ -362,6 +392,12 @@ if __name__ == '__main__':
     parser.add_argument('--scene', default='blob',
                         choices=('blob', 'textured'),
                         help='quality-probe scene preset')
+    parser.add_argument('--eval-every', type=int, default=0,
+                        help='quality mode: emit test PSNR every N iters '
+                             '(convergence curve)')
+    parser.add_argument('--seed', type=int, default=0,
+                        help='quality mode: GLOBAL.RANDOM_SEED (run-to-run '
+                             'variance probe)')
     args = parser.parse_args()
 
     def _parse(pairs):
@@ -378,6 +414,7 @@ if __name__ == '__main__':
         main_quality(_parse(args.model), iterations=args.iters,
                      image_size=args.image_size, dynamic=args.dynamic,
                      scene=args.scene,
-                     renderer_overrides=_parse(args.renderer))
+                     renderer_overrides=_parse(args.renderer),
+                     eval_every=args.eval_every, seed=args.seed)
     else:
         main(_parse(args.model), _parse(args.renderer))

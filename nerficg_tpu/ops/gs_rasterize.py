@@ -341,13 +341,16 @@ def rasterize_gaussians(means2d: jnp.ndarray, depths: jnp.ndarray,
 
     # Fused slice+composite straight from the sorted stream (the slot
     # tensors never materialize; see ops/gs_tiles_kernel.composite_sorted).
+    # The stream stays CHANNEL-MAJOR (width, E_pad): entries on the lane
+    # axis need no minor-dim padding in the Pallas kernels (entry-major was
+    # relayout-padded by Mosaic to 128 channels: 8-16x footprint/traffic).
     from nerficg_tpu.ops.gs_tiles_kernel import composite_sorted
     e_pad = (-(-(e + 3 * k) // k)) * k
-    sorted_mat = jnp.concatenate(
-        [sorted_ch.T, jnp.zeros((e_pad - e, n_ch), sorted_ch.dtype)], axis=0)
     pad_ch = (8 if packed_inference else 16) - n_ch
     sorted_mat = jnp.concatenate(
-        [sorted_mat, jnp.zeros((e_pad, pad_ch), sorted_ch.dtype)], axis=1)
+        [sorted_ch, jnp.zeros((n_ch, e_pad - e), sorted_ch.dtype)], axis=1)
+    sorted_mat = jnp.concatenate(
+        [sorted_mat, jnp.zeros((pad_ch, e_pad), sorted_ch.dtype)], axis=0)
     out = composite_sorted(sorted_mat, starts, counts, tiles_x, num_tiles, k)
     result = _assemble_tiles(out, width, height, background)
     # Coverage-loss diagnostics (the reference handles huge splats and deep

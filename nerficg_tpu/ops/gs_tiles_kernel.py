@@ -429,16 +429,17 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
         ox, oy = _origin(t, tiles_x)
         px, py = _pixel_grids(ox, oy)
     local = start % k
-    # save_tacc mode chunks CH-aligned so the saved per-chunk transmittance
-    # lines up with the stream backward's CH-aligned chunks (its pass 1 —
-    # a full geometry+exp sweep — then never runs).  The price is up to
-    # CH-1 (vs 7) masked foreign rows per tile in the forward.
-    align = CH if save_tacc else 8
-    aligned = (local // align) * align
+    # Chunks are CH-aligned within the window: the stream is channel-major
+    # (width, E) — entries live on the LANE axis, and Mosaic dynamic lane
+    # slices need 128-aligned offsets (CH is a multiple of 128). It also
+    # lines the chunks up with the stream backward's saved per-chunk
+    # transmittance (save_tacc). The price is up to CH-1 masked foreign
+    # entries re-processed per tile.
+    aligned = (local // CH) * CH
     skip = local - aligned
-    win_ref[pl.ds(0, k), :] = b0_ref[:]
-    win_ref[pl.ds(k, k), :] = b1_ref[:]
-    win_ref[pl.ds(2 * k, k), :] = b2_ref[:]
+    win_ref[:, pl.ds(0, k)] = b0_ref[:]
+    win_ref[:, pl.ds(k, k)] = b1_ref[:]
+    win_ref[:, pl.ds(2 * k, k)] = b2_ref[:]
     eff = jnp.minimum(count, k) + skip
     n_chunks = (eff + CH - 1) // CH
     if save_tacc:
@@ -447,7 +448,7 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     def body(c, carry):
         t_acc, rgb, acc, dep = carry
         off = aligned + c * CH
-        chunk_t = win_ref[pl.ds(pl.multiple_of(off, align), CH), :]
+        chunk_t = win_ref[:, pl.ds(pl.multiple_of(off, CH), CH)].T
         if save_tacc:
             tacc_ref[0, pl.ds(c, 1), :] = t_acc
         alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
@@ -475,86 +476,6 @@ def _fused_fwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     out_ref[0, 4:5] = dep
     out_ref[0, 5:8] = jnp.zeros((3, P), jnp.float32)
 
-
-KPAD = 8  # extra slot rows so the 8-aligned window covers a full segment
-
-
-def _fused_bwd_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
-                      tril_ref, dout_ref, dslots_ref, win_ref, dwin_ref,
-                      log_scratch, *, k, tiles_x):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
-    ox, oy = _origin(t, tiles_x)
-    px, py = _pixel_grids(ox, oy)
-    tril = tril_ref[:]
-    local = start % k
-    aligned = (local // 8) * 8
-    skip = local - aligned
-    win_ref[pl.ds(0, k), :] = b0_ref[:]
-    win_ref[pl.ds(k, k), :] = b1_ref[:]
-    win_ref[pl.ds(2 * k, k), :] = b2_ref[:]
-    dwin_ref[...] = jnp.zeros_like(dwin_ref)
-    eff = jnp.minimum(count, k) + skip
-    n_chunks = (eff + CH - 1) // CH
-
-    def fwd_body(c, t_acc):
-        off = aligned + c * CH
-        chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]
-        alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
-                                            c * CH - skip, px, py)
-        log_scratch[pl.ds(c, 1), :] = t_acc
-        return t_acc * _prod0(1.0 - alpha)
-
-    jax.lax.fori_loop(0, n_chunks, fwd_body, jnp.ones((1, P), jnp.float32))
-
-    dcol = dout_ref[0, 0:3]
-    dacc = dout_ref[0, 3:4]
-    ddep = dout_ref[0, 4:5]
-
-    def rev_body(i, s_after):
-        c = n_chunks - 1 - i
-        off = aligned + c * CH
-        chunk_t = win_ref[pl.ds(pl.multiple_of(off, 8), CH), :]
-        alpha, ep, dx, dy, active = _chunk_geometry(chunk_t, count,
-                                                    c * CH - skip, px, py)
-        trans = log_scratch[pl.ds(c, 1), :] * _excl_prefix_prod(1.0 - alpha)
-        w = trans * alpha
-        color_t = chunk_t[:, 6:9]
-        depth_c = chunk_t[:, 9:10]
-        g = jax.lax.dot_general(color_t, dcol, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        g = g + dacc + depth_c * ddep
-        gw = g * w
-        s_within = jax.lax.dot_general(
-            tril, gw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s_total = s_within + s_after
-        dalpha = jnp.where(active, g * trans - s_total / (1.0 - alpha), 0.0)
-        op = chunk_t[:, 5:6]
-        ca = chunk_t[:, 2:3]
-        cb = chunk_t[:, 3:4]
-        cc = chunk_t[:, 4:5]
-        dop = jnp.sum(dalpha * ep, axis=1, keepdims=True)
-        dpow = dalpha * op * ep
-        dca = jnp.sum(dpow * (-0.5 * dx * dx), axis=1, keepdims=True)
-        dcb = jnp.sum(dpow * (-dx * dy), axis=1, keepdims=True)
-        dcc = jnp.sum(dpow * (-0.5 * dy * dy), axis=1, keepdims=True)
-        dmx = jnp.sum(dpow * (ca * dx + cb * dy), axis=1, keepdims=True)
-        dmy = jnp.sum(dpow * (cc * dy + cb * dx), axis=1, keepdims=True)
-        dcolor = jax.lax.dot_general(w, dcol, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        ddepth = jax.lax.dot_general(w, ddep, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        dchunk = jnp.concatenate(
-            [dmx, dmy, dca, dcb, dcc, dop, dcolor, ddepth,
-             jnp.zeros((CH, 16 - 10), jnp.float32)], axis=1)   # (CH, 16)
-        dwin_ref[pl.ds(pl.multiple_of(c * CH, 8), CH), :] = dchunk
-        return s_after + jnp.sum(gw, axis=0, keepdims=True)
-
-    jax.lax.fori_loop(0, n_chunks, rev_body, jnp.zeros((1, P), jnp.float32))
-    # Slot rows j correspond to stream entries aligned_start + j.
-    dslots_ref[0] = dwin_ref[pl.ds(0, k + KPAD), :]
 
 
 def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
@@ -603,9 +524,9 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     local = start % k
     aligned = (local // CH) * CH
     skip = local - aligned
-    win_ref[pl.ds(0, k), :] = b0_ref[:]
-    win_ref[pl.ds(k, k), :] = b1_ref[:]
-    win_ref[pl.ds(2 * k, k), :] = b2_ref[:]
+    win_ref[:, pl.ds(0, k)] = b0_ref[:]
+    win_ref[:, pl.ds(k, k)] = b1_ref[:]
+    win_ref[:, pl.ds(2 * k, k)] = b2_ref[:]
 
     prev_start = starts_ref[jnp.maximum(t - 1, 0)]
     is_new = (t == 0) | (start // k != prev_start // k)
@@ -621,7 +542,7 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     if not has_tacc:
         def fwd_body(c, t_acc):
             off = aligned + c * CH
-            chunk_t = win_ref[pl.ds(pl.multiple_of(off, CH), CH), :]
+            chunk_t = win_ref[:, pl.ds(pl.multiple_of(off, CH), CH)].T
             alpha, _, _, _, _ = _chunk_geometry(chunk_t, count,
                                                 c * CH - skip, px, py)
             log_scratch[pl.ds(c, 1), :] = t_acc
@@ -637,7 +558,7 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
     def rev_body(i, s_after):
         c = n_chunks - 1 - i
         off = aligned + c * CH
-        chunk_t = win_ref[pl.ds(pl.multiple_of(off, CH), CH), :]
+        chunk_t = win_ref[:, pl.ds(pl.multiple_of(off, CH), CH)].T
         alpha, ep, dx, dy, active = _chunk_geometry(chunk_t, count,
                                                     c * CH - skip, px, py)
         if has_tacc:
@@ -676,22 +597,22 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
         # the first k entries of a segment; rows past the budget get zero.
         iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
         in_budget = ((iota + (c * CH - skip)) < k).astype(jnp.float32)
-        dchunk = jnp.concatenate(
+        dchunk = (jnp.concatenate(
             [dmx, dmy, dca, dcb, dcc, dop, dcolor, ddepth,
-             jnp.zeros((CH, 16 - 10), jnp.float32)], axis=1) * in_budget
+             jnp.zeros((CH, 16 - 10), jnp.float32)], axis=1) * in_budget).T
 
-        blk = off // k          # 0 or 1: window rows < 2k (see docstring)
+        blk = off // k          # 0 or 1: window entries < 2k (see docstring)
         off_in = off - blk * k
 
         @pl.when(blk == 0)
         def _acc0():
             idx = pl.ds(pl.multiple_of(off_in, CH), CH)
-            o0_ref[0, idx, :] = o0_ref[0, idx, :] + dchunk
+            o0_ref[0, :, idx] = o0_ref[0, :, idx] + dchunk
 
         @pl.when(blk == 1)
         def _acc1():
             idx = pl.ds(pl.multiple_of(off_in, CH), CH)
-            o1_ref[0, idx, :] = o1_ref[0, idx, :] + dchunk
+            o1_ref[0, :, idx] = o1_ref[0, :, idx] + dchunk
 
         return s_after + jnp.sum(gw, axis=0, keepdims=True)
 
@@ -700,13 +621,13 @@ def _fused_bwd_stream_kernel(starts_ref, counts_ref, b0_ref, b1_ref, b2_ref,
 
 def _run_fused_bwd_stream(sorted_mat, starts, counts, dout, tiles_x,
                           num_tiles, k, tacc=None):
-    """d_sorted (E_pad, 16) via the stream-accumulating backward kernel.
+    """d_sorted (16, E_pad) via the stream-accumulating backward kernel.
 
     ``tacc`` (T, nc, P): per-chunk starting transmittance saved by the
     forward (save_tacc=True) — skips the backward's pass-1 geometry sweep.
     """
     assert k % CH == 0, 'stream backward needs k % CH == 0'
-    e_pad = sorted_mat.shape[0]
+    e_pad = sorted_mat.shape[1]
     eb = e_pad // k
     tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
             ).astype(jnp.float32)
@@ -717,7 +638,7 @@ def _run_fused_bwd_stream(sorted_mat, starts, counts, dout, tiles_x,
         pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
                      memory_space=pltpu.VMEM)]
     inputs = (sorted_mat, sorted_mat, sorted_mat, tril, dout)
-    scratch = [pltpu.VMEM((3 * k, 16), jnp.float32)]
+    scratch = [pltpu.VMEM((16, 3 * k), jnp.float32)]
     if has_tacc:
         nc = tacc.shape[1]
         in_specs.append(pl.BlockSpec((1, nc, P), lambda t, s, c: (t, 0, 0),
@@ -730,9 +651,9 @@ def _run_fused_bwd_stream(sorted_mat, starts, counts, dout, tiles_x,
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, k, 16), lambda t, s, c: (s[t] // k, 0, 0),
+            pl.BlockSpec((1, 16, k), lambda t, s, c: (s[t] // k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, 16), lambda t, s, c: (s[t] // k + 1, 0, 0),
+            pl.BlockSpec((1, 16, k), lambda t, s, c: (s[t] // k + 1, 0, 0),
                          memory_space=pltpu.VMEM)],
         scratch_shapes=scratch,
     )
@@ -740,8 +661,8 @@ def _run_fused_bwd_stream(sorted_mat, starts, counts, dout, tiles_x,
         functools.partial(_fused_bwd_stream_kernel, k=k, tiles_x=tiles_x,
                           has_tacc=has_tacc),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((eb, k, 16), jnp.float32),
-                   jax.ShapeDtypeStruct((eb, k, 16), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((eb, 16, k), jnp.float32),
+                   jax.ShapeDtypeStruct((eb, 16, k), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(starts, counts, *inputs)
@@ -754,16 +675,20 @@ def _run_fused_bwd_stream(sorted_mat, starts, counts, dout, tiles_x,
     vis0 = (hi > lo)[:, None, None]
     vis1 = jnp.concatenate([jnp.zeros((1,), bool), (hi > lo)[:-1]])
     d = jnp.where(vis0, o0, 0.0) + jnp.where(vis1[:, None, None], o1, 0.0)
-    return d.reshape(e_pad, 16)
+    return d.transpose(1, 0, 2).reshape(16, e_pad)
 
 
 def _stagger_specs(k, width=16):
+    """Three staggered channel-major (width, k) blocks of the stream —
+    entries on the LANE axis, so the HBM array needs no minor-dim padding
+    (an entry-major (E, width) layout was relayout-padded by Mosaic to
+    (E, 128): 16x the HBM footprint and traffic at width=8)."""
     return [
-        pl.BlockSpec((k, width), lambda t, s, c: (s[t] // k + 0, 0),
+        pl.BlockSpec((width, k), lambda t, s, c: (0, s[t] // k + 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, width), lambda t, s, c: (s[t] // k + 1, 0),
+        pl.BlockSpec((width, k), lambda t, s, c: (0, s[t] // k + 1),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, width), lambda t, s, c: (s[t] // k + 2, 0),
+        pl.BlockSpec((width, k), lambda t, s, c: (0, s[t] // k + 2),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -775,7 +700,7 @@ def _n_chunk_rows(k):
 
 def _run_fused_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k,
                    save_tacc=False):
-    width = sorted_mat.shape[1]
+    width = sorted_mat.shape[0]
     packed = width == 8
     out_spec = pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -792,7 +717,7 @@ def _run_fused_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k,
         grid=(num_tiles,),
         in_specs=_stagger_specs(k, width),
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((3 * k, width), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((width, 3 * k), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_fused_fwd_kernel, k=k, tiles_x=tiles_x,
@@ -802,33 +727,6 @@ def _run_fused_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(starts, counts, sorted_mat, sorted_mat, sorted_mat)
-
-
-def _run_fused_bwd(sorted_mat, starts, counts, dout, tiles_x, num_tiles, k):
-    tril = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :]
-            ).astype(jnp.float32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=_stagger_specs(k) + [
-            pl.BlockSpec((CH, CH), lambda t, s, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, P), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, k + KPAD, 16), lambda t, s, c: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((3 * k, 16), jnp.float32),
-                        pltpu.VMEM((3 * k, 16), jnp.float32),
-                        pltpu.VMEM((k // CH + 2, P), jnp.float32)],
-    )
-    return pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, k=k, tiles_x=tiles_x),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, k + KPAD, 16),
-                                       jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(starts, counts, sorted_mat, sorted_mat, sorted_mat, tril, dout)
 
 
 def _tile_origins(num_tiles, tiles_x):
@@ -843,19 +741,20 @@ def composite_sorted(sorted_mat: jnp.ndarray, starts: jnp.ndarray,
                      k: int) -> jnp.ndarray:
     """Fused slice+composite over the (tile, depth)-sorted entry stream.
 
-    sorted_mat: (E_pad, 16) f32 — channels [mx,my,ca,cb,cc,op,r,g,b,d,0..]
-    per sorted entry, with >= 3k guard rows appended and E_pad a multiple
-    of k. starts/counts: (T,) int32 segment starts/lengths. Returns
-    (T, 8, P). Differentiable in sorted_mat (gradients routed back to
-    entries by one key sort — no scatter).
+    sorted_mat: (16, E_pad) f32 CHANNEL-MAJOR — rows
+    [mx,my,ca,cb,cc,op,r,g,b,d,0..] over sorted entries on the lane axis
+    (8 rows for the packed inference layout), with >= 3k guard entries
+    appended and E_pad a multiple of k. starts/counts: (T,) int32 segment
+    starts/lengths. Returns (T, 8, P). Differentiable in sorted_mat
+    (gradients accumulate in stream layout — no scatter, no routing sort).
     """
     out, _ = _cs_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k)
     return out
 
 
 def _unpack_stream_jnp(mat8: jnp.ndarray) -> jnp.ndarray:
-    """(E, 8) packed stream -> (E, 10) f32 with TILE-RELATIVE means
-    (CPU fallback of _read_attrs; see that docstring for the layout)."""
+    """(E, 8) packed entry-major stream -> (E, 10) f32 with TILE-RELATIVE
+    means (CPU fallback of _read_attrs; see that docstring)."""
     from nerficg_tpu.ops.gs_rasterize import MEANS_FP_BIAS, MEANS_FP_SCALE
 
     def unpack(col):
@@ -877,7 +776,8 @@ def _unpack_stream_jnp(mat8: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cs_jnp(sorted_mat, starts, counts, tiles_x, num_tiles, k):
-    packed = sorted_mat.shape[1] == 8
+    packed = sorted_mat.shape[0] == 8
+    sorted_mat = sorted_mat.T                   # channel-major -> entry-major
     if packed:
         sorted_mat = _unpack_stream_jnp(sorted_mat)
     slots = jax.vmap(
@@ -900,7 +800,7 @@ def _cs_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
     if jax.default_backend() == 'tpu':
         # Train (16-wide) layout: save per-chunk transmittance so the
         # stream backward skips its pass-1 geometry sweep.
-        if sorted_mat.shape[1] == 16 and k % CH == 0:
+        if sorted_mat.shape[0] == 16 and k % CH == 0:
             out, tacc = _run_fused_fwd(sorted_mat, starts, counts, tiles_x,
                                        num_tiles, k, save_tacc=True)
         else:
@@ -913,57 +813,20 @@ def _cs_fwd(sorted_mat, starts, counts, tiles_x, num_tiles, k):
 
 def _cs_bwd(tiles_x, num_tiles, k, res, dout):
     sorted_mat, starts, counts, tacc = res
-    if sorted_mat.shape[1] == 8:
+    if sorted_mat.shape[0] == 8:
         raise NotImplementedError(
             'the packed (inference) stream layout is not differentiable; '
             'use the 16-channel layout for training')
-    e_pad = sorted_mat.shape[0]
     if jax.default_backend() != 'tpu':
         d_sorted = jax.vjp(
             lambda sm: _cs_jnp(sm, starts, counts, tiles_x, num_tiles, k),
             sorted_mat)[1](dout)[0]
         return d_sorted, None, None
-    if k % CH == 0:
-        # Stream-accumulating backward: gradients land directly at their
-        # entry rows — no slot detour, no routing sort (44 ms at
-        # 1080p/100k, round-4 measurement).
-        d_sorted = _run_fused_bwd_stream(sorted_mat, starts, counts, dout,
-                                         tiles_x, num_tiles, k, tacc=tacc)
-        return d_sorted, None, None
-    d_slots = _run_fused_bwd(sorted_mat, starts, counts, dout, tiles_x,
-                             num_tiles, k)                 # (T, k+KPAD, 16)
-    # Route slot gradients to their entries with one key sort (no scatter:
-    # valid slots carry their entry index as key; every entry not covered
-    # by a valid slot gets a zero filler with its own index; the union is
-    # exactly {0..E_pad-1} once each).
-    window_start = (starts // 8) * 8
-    pos = jnp.arange(k + KPAD, dtype=jnp.int32)
-    entry_of_slot = window_start[:, None] + pos[None, :]   # (T, k+KPAD)
-    seg_end = starts + jnp.minimum(counts, k)
-    slot_valid = (entry_of_slot >= starts[:, None]) & \
-        (entry_of_slot < seg_end[:, None])
-    flat_valid = slot_valid.reshape(-1)
-    t_slots = num_tiles * (k + KPAD)
-    big = jnp.int32(2 ** 30)
-    slot_keys = jnp.where(flat_valid, entry_of_slot.reshape(-1),
-                          big + jnp.arange(t_slots, dtype=jnp.int32))
-    # Fillers: an entry covered by a valid slot must sort AFTER that slot;
-    # uncovered entries keep their own index so they receive zero gradient.
-    # Coverage = lies in some tile's [start, seg_end) — disjoint segments,
-    # marked via a difference array + cumsum.
-    marks = jnp.zeros((e_pad + 1,), jnp.int32)
-    marks = marks.at[starts].add(1).at[seg_end].add(-1)
-    covered = jnp.cumsum(marks[:-1]) > 0
-    filler_keys = jnp.where(
-        covered, big + big // 2 + jnp.arange(e_pad, dtype=jnp.int32),
-        jnp.arange(e_pad, dtype=jnp.int32))
-    keys = jnp.concatenate([slot_keys, filler_keys])
-    grads = jnp.concatenate([
-        d_slots.reshape(t_slots, 16) *
-        flat_valid[:, None].astype(d_slots.dtype),
-        jnp.zeros((e_pad, 16), d_slots.dtype)], axis=0)
-    ops = jax.lax.sort((keys,) + tuple(grads.T), num_keys=1)
-    d_sorted = jnp.stack(ops[1:]).T[:e_pad]
+    # Stream-accumulating backward: gradients land directly at their
+    # entry positions — no slot detour, no routing sort (44 ms at
+    # 1080p/100k, round-4 measurement).
+    d_sorted = _run_fused_bwd_stream(sorted_mat, starts, counts, dout,
+                                     tiles_x, num_tiles, k, tacc=tacc)
     return d_sorted, None, None
 
 

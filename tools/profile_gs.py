@@ -208,9 +208,9 @@ def main():
         from nerficg_tpu.ops.gs_tiles_kernel import composite_sorted
         e_pad = (-(-(e + 3 * k) // k)) * k
         sm = jnp.concatenate(
-            [sc.T, jnp.zeros((e_pad - e, n_ch), sc.dtype)], axis=0)
+            [sc, jnp.zeros((n_ch, e_pad - e), sc.dtype)], axis=1)
         sm = jnp.concatenate(
-            [sm, jnp.zeros((e_pad, 8 - n_ch), sc.dtype)], axis=1)
+            [sm, jnp.zeros((8 - n_ch, e_pad), sc.dtype)], axis=0)
         return composite_sorted(sm, st, cn, tiles_x, num_tiles, k)
 
     timed(comp_stage, (sorted_ch, starts, counts),
@@ -317,8 +317,8 @@ def profile_train(model, renderer, intrinsics, w2c, cam, bg, params, h, w):
     cs_starts = edges[:-1].astype(jnp.int32)
     cs_counts = (edges[1:] - edges[:-1]).astype(jnp.int32)
     sm = jnp.concatenate([
-        jax.random.uniform(jax.random.PRNGKey(3), (e, 16)) * 0.1,
-        jnp.zeros((e_pad - e, 16))], axis=0)
+        jax.random.uniform(jax.random.PRNGKey(3), (16, e)) * 0.1,
+        jnp.zeros((16, e_pad - e))], axis=1)
 
     def cs_fwd(m):
         return composite_sorted(m, cs_starts, cs_counts, tiles_x,
