@@ -34,6 +34,10 @@ __all__ = ['GaussianSplattingRenderer']
     MAX_TILES_PER_GAUSSIAN=6,   # linearized rect cover: any <=6-cell rect exact
     TILE_CHUNK=64,
     LOW_PASS_FILTER=0.3,
+    PROJECT_CHUNK=262144,       # per-gaussian frontend (cov/EWA/SH) lax.map
+                                # chunk: the dense stage peaks ~2 KB/gaussian
+                                # of XLA temps (measured, tools/gs_mem_probe)
+                                # — unchunked it alone OOMs HBM at 4M
 )
 class GaussianSplattingRenderer(BaseRenderer):
 
@@ -57,32 +61,59 @@ class GaussianSplattingRenderer(BaseRenderer):
         """
         model = self.model
         focal_x, focal_y, center_x, center_y, width, height = intrinsics
-        positions = params['positions']
-        cov3d = build_covariance_3d(model.get_scales(params),
-                                    model.get_rotations(params))
-        proj = project_gaussians(positions, cov3d, w2c,
-                                 focal_x, focal_y, center_x, center_y,
-                                 width, height,
-                                 low_pass=float(self.LOW_PASS_FILTER))
-        means2d = proj['means2d'] + means2d_offset
-        # View-dependent SH color (reference: utils.py:21-59).
-        directions = positions - cam_pos
-        directions = directions / jnp.maximum(
-            jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-8)
-        colors = eval_sh(model.get_features(params), directions, sh_degree)
-        colors = jnp.maximum(colors + 0.5, 0.0)
+
+        def frontend(p):
+            """Per-gaussian dense stage: covariance + EWA projection + SH.
+            12 output floats per gaussian from ~60 of params; everything in
+            between is XLA temps, so it runs chunked under lax.map with
+            rematerialized backward (PROJECT_CHUNK)."""
+            positions = p['positions']
+            cov3d = build_covariance_3d(model.get_scales(p),
+                                        model.get_rotations(p))
+            proj = project_gaussians(positions, cov3d, w2c,
+                                     focal_x, focal_y, center_x, center_y,
+                                     width, height,
+                                     low_pass=float(self.LOW_PASS_FILTER))
+            # View-dependent SH color (reference: utils.py:21-59).
+            directions = positions - cam_pos
+            directions = directions / jnp.maximum(
+                jnp.linalg.norm(directions, axis=-1, keepdims=True), 1e-8)
+            colors = eval_sh(model.get_features(p), directions, sh_degree)
+            colors = jnp.maximum(colors + 0.5, 0.0)
+            return (proj['means2d'], proj['depths'], proj['conics'],
+                    proj['radii'], colors, model.get_opacities(p),
+                    proj['in_frustum'])
+
+        n = params['positions'].shape[0]
+        chunk = int(self.PROJECT_CHUNK)
+        keys = ('positions', 'scales', 'rotations', 'opacities',
+                'features_dc', 'features_rest')
+        if chunk > 0 and n > chunk:
+            n_pad = -(-n // chunk) * chunk
+            stacked = {
+                k: jnp.pad(params[k], [(0, n_pad - n)] +
+                           [(0, 0)] * (params[k].ndim - 1)).reshape(
+                    n_pad // chunk, chunk, *params[k].shape[1:])
+                for k in keys}
+            outs = jax.lax.map(jax.checkpoint(frontend), stacked)
+            (means2d, depths, conics, radii, colors, opacities,
+             in_frustum) = [o.reshape(n_pad, *o.shape[2:])[:n] for o in outs]
+        else:
+            (means2d, depths, conics, radii, colors, opacities,
+             in_frustum) = frontend({k: params[k] for k in keys})
+        means2d = means2d + means2d_offset
         out = rasterize_gaussians(
-            means2d=means2d, depths=proj['depths'], conics=proj['conics'],
-            radii=proj['radii'], colors=colors,
-            opacities=model.get_opacities(params),
-            visible=proj['in_frustum'], width=width, height=height,
+            means2d=means2d, depths=depths, conics=conics,
+            radii=radii, colors=colors,
+            opacities=opacities,
+            visible=in_frustum, width=width, height=height,
             background=background,
             max_tiles_per_gaussian=int(self.MAX_TILES_PER_GAUSSIAN),
             max_per_tile=int(self.MAX_PER_TILE),
             tile_chunk=int(self.TILE_CHUNK),
             packed_inference=packed_inference)
-        out['radii'] = proj['radii']
-        out['visible'] = proj['in_frustum']
+        out['radii'] = radii
+        out['visible'] = in_frustum
         return out
 
     def _get_render_fn(self, intrinsics: tuple, sh_degree: int):

@@ -279,3 +279,53 @@ class TestBackupResume:
             and isinstance(item.mu, dict)
             and hasattr(item.mu.get('positions'), 'shape'))
         assert total_mu > 0
+
+
+class TestChunkedFrontend:
+    """The lax.map-chunked per-gaussian frontend (PROJECT_CHUNK) must match
+    the single-shot path exactly — values AND gradients."""
+
+    def _setup(self, chunk):
+        from nerficg_tpu.core.registry import Methods
+        from nerficg_tpu.data.types import BasicPointCloud
+        cfg = ConfigNode({
+            'GLOBAL': {'METHOD_TYPE': 'GaussianSplatting',
+                       'RANDOM_SEED': 0, 'LOG_LEVEL': 'SILENT'},
+            'MODEL': {'SH_DEGREE': 2, 'CAPACITY_GRANULARITY': 256},
+            'RENDERER': {'MAX_PER_TILE': 64, 'PROJECT_CHUNK': chunk},
+            'TRAINING': {},
+        })
+        model = Methods.get_model(cfg)
+        rng = np.random.default_rng(3)
+        pts = rng.random((600, 3)).astype(np.float32) * 2 - 1
+        model.init_from_point_cloud(BasicPointCloud(pts, rng.random((600, 3))))
+        renderer = Methods.get_renderer(cfg, model)
+        return model, renderer
+
+    def test_chunked_matches_single_shot(self):
+        import jax
+        outs = {}
+        grads = {}
+        for chunk in (0, 256):           # 0 disables chunking; 256 < padded N
+            model, renderer = self._setup(chunk)
+            params = model.params
+            n = params['positions'].shape[0]
+            offset = jnp.zeros((n, 2), jnp.float32)
+            intrinsics = (60.0, 60.0, 32.0, 24.0, 64, 48)
+            w2c = jnp.eye(4).at[2, 3].set(3.0)
+            cam = jnp.asarray([0.0, 0.0, -3.0])
+
+            def loss(p):
+                out = renderer.render_impl(
+                    p, offset, w2c, cam, intrinsics=intrinsics,
+                    background=jnp.zeros(3), sh_degree=2)
+                return jnp.sum(out['rgb'] ** 2), out
+
+            (val, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+            outs[chunk] = np.asarray(out['rgb'])
+            grads[chunk] = g
+        np.testing.assert_allclose(outs[0], outs[256], atol=1e-5)
+        for key in grads[0]:
+            np.testing.assert_allclose(
+                np.asarray(grads[0][key]), np.asarray(grads[256][key]),
+                atol=1e-4, rtol=1e-3, err_msg=key)
