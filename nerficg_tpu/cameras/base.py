@@ -17,7 +17,25 @@ import numpy as np
 
 from nerficg_tpu.core.errors import CameraError
 
-__all__ = ['SharedCameraSettings', 'BaseCamera', 'generate_rays']
+__all__ = ['SharedCameraSettings', 'BaseCamera', 'generate_rays',
+           'array_module']
+
+
+def array_module(*arrays):
+    """``jnp`` if any input is a JAX array/tracer, else ``numpy``.
+
+    The per-pixel camera math is elementwise and backend-agnostic; picking
+    the module off the inputs keeps it traceable inside jitted render/train
+    steps while letting host callers (dataset bounding-box estimation,
+    COLMAP point projection — a handful of tiny arrays per view) run on
+    the host with ZERO device dispatches. Eager tiny-op dispatch to a
+    remote TPU costs ~seconds of tunnel latency per dataset init and
+    fails outright when no device is attached."""
+    import jax
+    for a in arrays:
+        if isinstance(a, jax.Array) or hasattr(a, 'aval'):
+            return jnp
+    return np
 
 
 @dataclass

@@ -34,7 +34,10 @@ class RadialTangentialDistortion:
 
     def distort(self, xy: jnp.ndarray) -> jnp.ndarray:
         """Apply distortion to normalized camera-plane coords (..., 2)
-        (reference: Cameras/utils.py:107-127)."""
+        (reference: Cameras/utils.py:107-127). Backend-generic: numpy
+        in -> numpy out (host path), jnp in -> jnp (jitted path)."""
+        from nerficg_tpu.cameras.base import array_module
+        xp = array_module(xy)
         x, y = xy[..., 0], xy[..., 1]
         r2 = x * x + y * y
         radial_num = 1.0 + r2 * (self.k1 + r2 * (self.k2 + r2 * self.k3))
@@ -43,7 +46,7 @@ class RadialTangentialDistortion:
         xy_prod = x * y
         x_out = x * radial + 2.0 * self.p1 * xy_prod + self.p2 * (r2 + 2.0 * x * x)
         y_out = y * radial + self.p1 * (r2 + 2.0 * y * y) + 2.0 * self.p2 * xy_prod
-        return jnp.stack([x_out, y_out], axis=-1)
+        return xp.stack([x_out, y_out], axis=-1)
 
     def undistort(self, xy: jnp.ndarray) -> jnp.ndarray:
         """Iterative (fixed-point/Newton-style) inverse of ``distort``

@@ -13,7 +13,8 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from nerficg_tpu.cameras.base import BaseCamera, SharedCameraSettings
+from nerficg_tpu.cameras.base import (BaseCamera, SharedCameraSettings,
+                                      array_module)
 from nerficg_tpu.cameras.distortion import RadialTangentialDistortion
 from nerficg_tpu.cameras.pose import fov_to_focal
 
@@ -61,25 +62,28 @@ class PerspectiveCamera(BaseCamera):
     # -- projection ----------------------------------------------------------
     def cam_to_screen(self, points_cam: jnp.ndarray) -> jnp.ndarray:
         """(..., 3) camera space -> (..., 3) = (px, py, depth)
-        (reference: Perspective.py:39-50)."""
+        (reference: Perspective.py:39-50). Backend-generic: numpy in ->
+        numpy out (host path), jnp/tracer in -> jnp (jitted path)."""
+        xp = array_module(points_cam)
         z = points_cam[..., 2:3]
-        xy = points_cam[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        xy = points_cam[..., :2] / xp.where(xp.abs(z) < 1e-12, 1e-12, z)
         if self.distortion is not None and not self.distortion.is_identity():
             xy = self.distortion.distort(xy)
         px = xy[..., 0:1] * self.focal_x + self.center_x
         py = xy[..., 1:2] * self.focal_y + self.center_y
-        return jnp.concatenate([px, py, z], axis=-1)
+        return xp.concatenate([px, py, z], axis=-1)
 
     def screen_to_cam(self, pixels: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
         """(..., 2) pixels + (...,) depth -> (..., 3) camera space
         (reference: Perspective.py:52-62)."""
+        xp = array_module(pixels, depth)
         x = (pixels[..., 0] - self.center_x) / self.focal_x
         y = (pixels[..., 1] - self.center_y) / self.focal_y
-        xy = jnp.stack([x, y], axis=-1)
+        xy = xp.stack([x, y], axis=-1)
         if self.distortion is not None and not self.distortion.is_identity():
             xy = self.distortion.undistort(xy)
-        depth = jnp.asarray(depth)
-        return jnp.concatenate([xy * depth[..., None], depth[..., None]], axis=-1)
+        depth = xp.asarray(depth)
+        return xp.concatenate([xy * depth[..., None], depth[..., None]], axis=-1)
 
     def _compute_local_ray_directions(self) -> jnp.ndarray:
         """(H*W, 3) camera-space directions (reference: Perspective.py:64-94)."""

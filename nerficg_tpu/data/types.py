@@ -300,13 +300,17 @@ class View:
         return points @ self._c2w[:3, :3].T + self._c2w[:3, 3]
 
     def project_points(self, points_world: np.ndarray) -> np.ndarray:
-        """World points -> (px, py, depth) (reference: utils.py:980-1005)."""
+        """World points -> (px, py, depth) (reference: utils.py:980-1005).
+
+        Host-side: the camera math is backend-generic (cameras/base.py
+        array_module), so numpy stays numpy — no device dispatch for the
+        few-point geometry queries made during dataset init."""
         return np.asarray(self.camera.cam_to_screen(
-            jnp.asarray(self.world_to_cam(points_world), jnp.float32)))
+            np.asarray(self.world_to_cam(points_world), np.float32)))
 
     def unproject_points(self, pixels: np.ndarray, depth: np.ndarray) -> np.ndarray:
         cam_pts = np.asarray(self.camera.screen_to_cam(
-            jnp.asarray(pixels, jnp.float32), jnp.asarray(depth, jnp.float32)))
+            np.asarray(pixels, np.float32), np.asarray(depth, np.float32)))
         return self.cam_to_world(cam_pts)
 
     def get_rays(self, with_images: bool = True) -> RayBatch:

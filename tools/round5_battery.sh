@@ -9,11 +9,27 @@ mkdir -p $R
 
 have() { [ -f "$1" ] && grep -q '^{' "$1"; }
 
+# The axon tunnel occasionally wedges for ~10-15 min after a client is
+# killed mid-dispatch, and fresh processes can stall several minutes at
+# their first compile. Gate each point on a compute health probe and give
+# points a generous timeout so they are never killed mid-stall.
+tpu_wait() {
+  for _ in $(seq 1 30); do
+    if timeout 120 python -c "import jax, jax.numpy as jnp; assert float(jnp.arange(4).sum())==6.0" >/dev/null 2>&1; then
+      return 0
+    fi
+    echo "tpu busy/wedged, waiting... $(date)"
+    sleep 60
+  done
+  echo "TPU never recovered"; return 1
+}
+
 run() { # run <outfile> <cmd...>
   local out=$1; shift
   if have "$out"; then echo "SKIP $out"; return; fi
+  tpu_wait || return 1
   echo "RUN  $out: $*"
-  timeout 2400 "$@" >"$out" 2>&1 || echo "FAIL $out (rc=$?)"
+  timeout 3600 "$@" >"$out" 2>&1 || echo "FAIL $out (rc=$?)"
 }
 
 QI=3000   # quality iters
