@@ -30,6 +30,9 @@ def main() -> None:
 
     import bench
 
+    import numpy as np
+    import jax.numpy as jnp
+
     for n in (int(c) for c in args.counts.split(',')):
         row = {'n_gaussians': n}
         if not args.skip_fps:
@@ -40,6 +43,27 @@ def main() -> None:
             ms = bench.measure_gs_train_ms(n_gaussians=n,
                                            iters=args.train_iters)
             row['train_step_ms'] = round(ms, 2)
+        # Truncation diagnostics at this count (VERDICT r4 next #3: the
+        # static budgets MAX_PER_TILE / MAX_TILES_PER_GAUSSIAN must be
+        # *observed*, not assumed, at scene-scale counts): one training-path
+        # render, read the coverage-loss counters off the result dict.
+        cfg, model, renderer = bench._make_gs_model(n)
+        h, w = 1080, 1920
+        intrinsics = (0.8 * w, 0.8 * w, w / 2.0, h / 2.0, w, h)
+        eye = np.array([0.0, 0.0, 3.0])
+        c2w = np.eye(4)
+        c2w[:3, 2] = [0, 0, -1.0]
+        c2w[:3, 0] = [-1.0, 0, 0]
+        c2w[:3, 3] = eye
+        w2c = jnp.asarray(np.linalg.inv(c2w).astype(np.float32))
+        out = renderer.render_impl(
+            model.params, jnp.zeros((n, 2), jnp.float32), w2c,
+            jnp.asarray(eye, jnp.float32), intrinsics=intrinsics,
+            background=jnp.zeros(3),
+            sh_degree=int(model.active_sh_degree))
+        row['overflow_gaussians'] = int(out['overflow_gaussians'])
+        row['overflow_entries'] = int(out['overflow_entries'])
+        row['visible_gaussians'] = int(jnp.sum(out['visible']))
         print(json.dumps(row), flush=True)
 
 
