@@ -12,8 +12,9 @@ havetxt() { [ -f "$1" ] && [ -s "$1" ]; }
 run() { # run <outfile> <cmd...>
   local out=$1; shift
   if have "$out"; then echo "SKIP $out"; return; fi
-  echo "RUN  $out: $*"
-  timeout 2400 "$@" >"$out" 2>&1 || echo "FAIL $out (rc=$?)"
+  echo "RUN  $out: $* [$(date)]"
+  timeout 3600 "$@" >"$out" 2>&1 || echo "FAIL $out (rc=$?)"
+  sleep 120  # drain pause; see round5_battery.sh tunnel discipline note
 }
 
 # --- 1. GS train step with the round-5 kernel work (tacc bwd + FIR SSIM) ---
@@ -22,9 +23,10 @@ run $R/gs_train_profile.json python tools/profile_gs.py --which train
 # --- 2. GS chunk-size A/B (NERFICG_GS_CH; stream bwd needs k % CH == 0) ---
 for C in 64 128 256; do
   if ! have $R/gs_train_ch$C.json; then
-    echo "RUN  gs_train_ch$C"
-    NERFICG_GS_CH=$C timeout 2400 python tools/profile_gs.py --which train \
+    echo "RUN  gs_train_ch$C [$(date)]"
+    NERFICG_GS_CH=$C timeout 3600 python tools/profile_gs.py --which train \
         >$R/gs_train_ch$C.json 2>&1 || echo "FAIL ch$C"
+    sleep 120
   fi
 done
 
