@@ -33,6 +33,17 @@ done
 # --- 3. INGP step stage profile (attack plan for the non-encode 4.6 ms) ---
 run $R/ingp_profile.json python tools/profile_ingp.py --which step
 
+# --- 3b. march-default throughput check: 128^3@24spr step cost at the
+# 8192-ray operating point (the quality A/B gave 128^3@24spr +0.92 dB;
+# the default flips only if the step cost is ~equal) ---
+run $R/ingp_march128_step.json python tools/profile_ingp.py --which step \
+    --set RENDERER.MARCH_RESOLUTION=128 --set RENDERER.AVG_SAMPLES_PER_RAY=24
+
+# --- 3c. window-backend step cost at 2^14/2^19 (the default-encode call:
+# window k14 matches cell k19 quality on the probe — at what step price?) ---
+run $R/throughput_window.json python tools/capacity_ab.py \
+    --ks 14,19 --backend window --skip-quality
+
 # --- 4. end-to-end inference.py -b (VERDICT r4 #6) ---
 if ! havetxt $R/e2e_inference.txt; then
   python -c "from nerficg_tpu.data.synthetic import make_textured_scene; \
