@@ -56,8 +56,9 @@ def main() -> None:
         c2w[:3, 0] = [-1.0, 0, 0]
         c2w[:3, 3] = eye
         w2c = jnp.asarray(np.linalg.inv(c2w).astype(np.float32))
+        n_model = model.params['positions'].shape[0]
         out = renderer.render_impl(
-            model.params, jnp.zeros((n, 2), jnp.float32), w2c,
+            model.params, jnp.zeros((n_model, 2), jnp.float32), w2c,
             jnp.asarray(eye, jnp.float32), intrinsics=intrinsics,
             background=jnp.zeros(3),
             sh_degree=int(model.active_sh_degree))
