@@ -283,6 +283,7 @@ def main_quality(model_overrides: Optional[dict] = None,
     import tempfile
 
     from nerficg_tpu.data.synthetic import (make_dynamic_scene,
+                                            make_dynamic_textured_scene,
                                             make_synthetic_scene,
                                             make_textured_scene)
 
@@ -294,7 +295,12 @@ def main_quality(model_overrides: Optional[dict] = None,
     root = Path(tempfile.mkdtemp()) / 'scene'
     root.mkdir()
     if dynamic:
-        make_dynamic_scene(root, image_size=image_size)
+        # --dynamic --scene textured: opaque translating textured sphere
+        # (the blob dynamic probe saturates ~18 dB; see synthetic.py).
+        if scene == 'textured':
+            make_dynamic_textured_scene(root, image_size=image_size)
+        else:
+            make_dynamic_scene(root, image_size=image_size)
     elif scene == 'textured':
         make_textured_scene(root, image_size=image_size)
     else:
@@ -368,7 +374,8 @@ def main_quality(model_overrides: Optional[dict] = None,
         'value': round(sum(vals) / len(vals), 2),
         'unit': 'dB',
         'train_seconds': round(train_s, 1),
-        'scene': ('dynamic' if dynamic else scene),
+        'scene': ((f'dynamic-{scene}' if scene != 'blob' else 'dynamic')
+                  if dynamic else scene),
         'model_overrides': model_overrides or {},
         'renderer_overrides': renderer_overrides or {},
         'vs_baseline': 0.0,

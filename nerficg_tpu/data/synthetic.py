@@ -14,7 +14,7 @@ from pathlib import Path
 import numpy as np
 
 __all__ = ['make_synthetic_scene', 'make_dynamic_scene',
-           'make_textured_scene']
+           'make_textured_scene', 'make_dynamic_textured_scene']
 
 
 def make_synthetic_scene(root, image_size=24, n_train=8, n_test=2):
@@ -251,6 +251,113 @@ def make_dynamic_scene(root, image_size=24, n_train=10, n_test=3):
             angle = 2 * math.pi * (i + (0.5 if split == 'test' else 0)) / max(count, 1)
             c2w_colmap = pose_on_circle(angle)
             rgb, acc = render_blob(c2w_colmap, image_size, t)
+            rgba = np.concatenate([rgb, acc[..., None]], -1)
+            img = Image.fromarray((rgba * 255).astype(np.uint8))
+            rel = f'{split}/r_{i}'
+            img.save(root / f'{rel}.png')
+            c2w_gl = c2w_colmap.copy()
+            c2w_gl[:3, 1] *= -1
+            c2w_gl[:3, 2] *= -1
+            frames.append({'file_path': f'./{rel}', 'time': t,
+                           'transform_matrix': c2w_gl.tolist()})
+        meta = {'camera_angle_x': math.radians(45.0), 'frames': frames}
+        with open(root / f'transforms_{split}.json', 'w') as f:
+            json.dump(meta, f)
+    return root
+
+
+def make_dynamic_textured_scene(root, image_size=64, n_train=40, n_test=4,
+                                octaves=(3.0, 8.0), amplitude=0.35, seed=0):
+    """Opaque dynamic probe: the textured sphere of ``make_textured_scene``
+    rigidly translating with time (center at ``[amplitude*sin(2 pi t), 0,
+    0]``; texture/shading move WITH the sphere).
+
+    Why: the translucent-blob dynamic probe saturates ~18 dB for the same
+    reason the static blob does (semi-transparent volume, low-frequency
+    colors: round-3 verdict weak #5) — it cannot measure dynamic-method
+    quality improvements past that. A rigid translation of an opaque
+    surface is exactly the canonical-space + deformation-offset
+    decomposition D-NeRF assumes (reference: src/Methods/DNeRF/Model.py
+    deformation MLP), so a correct method should reach the static textured
+    probe's quality here. Same near-plane constraint as the static probe:
+    surface stays at depth > 2 from every orbit camera
+    (4.0 - 0.8 - |amplitude| >= 2.85).
+
+    D-NeRF transforms format (``time`` per frame; loader:
+    data/loaders/dnerf.py; reference format src/Datasets/DNeRF.py)."""
+    root = Path(root)
+    import json
+    import math
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    dirs_oct = rng.normal(size=(len(octaves), 3, 3))
+    dirs_oct /= np.linalg.norm(dirs_oct, axis=-1, keepdims=True)
+    phases = rng.uniform(0, 2 * np.pi, size=(len(octaves), 3))
+    light = np.array([0.5, 0.7, 0.5])
+    light /= np.linalg.norm(light)
+    radius = 0.8
+
+    def texture(p):
+        c = np.full(p.shape[:-1] + (3,), 0.5)
+        amp = 0.5
+        for o, f in enumerate(octaves):
+            amp *= 0.55
+            for ch in range(3):
+                c[..., ch] += amp * np.sin(
+                    2 * np.pi * f * (p @ dirs_oct[o, ch]) + phases[o, ch])
+        return np.clip(c, 0.0, 1.0)
+
+    def render(c2w, size, t, ss=2):
+        hs = size * ss
+        focal = 0.5 * hs / math.tan(0.5 * math.radians(45.0))
+        ys, xs = np.mgrid[0:hs, 0:hs].astype(np.float64) + 0.5
+        d = np.stack([(xs - hs / 2) / focal, (ys - hs / 2) / focal,
+                      np.ones_like(xs)], -1)
+        d = d @ c2w[:3, :3].T
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = c2w[:3, 3]
+        center = np.array([amplitude * math.sin(2 * math.pi * t), 0.0, 0.0])
+        oc = o - center
+        b = d @ oc
+        disc = b * b - (oc @ oc - radius * radius)
+        hit = disc > 0
+        tt = -b - np.sqrt(np.maximum(disc, 0.0))
+        p = o[None, None, :] + d * tt[..., None] - center  # body frame
+        n = p / radius
+        shade = 0.35 + 0.65 * np.maximum(n @ light, 0.0)
+        rgb = texture(p) * shade[..., None]
+        rgb = np.where(hit[..., None], rgb, 0.0)
+        acc = hit.astype(np.float64)
+        rgb = rgb.reshape(size, ss, size, ss, 3).mean(axis=(1, 3))
+        acc = acc.reshape(size, ss, size, ss).mean(axis=(1, 3))
+        return np.clip(rgb, 0, 1), acc
+
+    def pose_on_ring(angle, elev, radius_cam=4.0):
+        eye = radius_cam * np.array([
+            math.cos(elev) * math.sin(angle), math.sin(elev),
+            math.cos(elev) * math.cos(angle)])
+        forward = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, forward)
+        right /= np.linalg.norm(right)
+        down = np.cross(forward, right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = \
+            right, down, forward, eye
+        return c2w
+
+    for split, count in (('train', n_train), ('test', n_test)):
+        frames = []
+        (root / split).mkdir(parents=True, exist_ok=True)
+        for i in range(count):
+            t = i / max(count - 1, 1)
+            angle = 2 * math.pi * (i + (0.5 if split == 'test' else 0)) \
+                / max(count, 1)
+            elev = math.radians(-25.0 if i % 2 else 20.0)
+            c2w_colmap = pose_on_ring(angle, elev)
+            rgb, acc = render(c2w_colmap, image_size, t)
             rgba = np.concatenate([rgb, acc[..., None]], -1)
             img = Image.fromarray((rgba * 255).astype(np.uint8))
             rel = f'{split}/r_{i}'

@@ -387,3 +387,55 @@ class TestTexturedProbeScene:
         assert m.sum() > 200
         corr = np.corrcoef(pred[m].ravel(), rgb[m].ravel())[0, 1]
         assert corr > 0.9, f'ray/color pairing broken: corr={corr:.3f}'
+
+
+class TestDynamicTexturedProbeScene:
+    """Guards for the dynamic quality probe
+    (data/synthetic.py make_dynamic_textured_scene): the translating
+    opaque sphere must stay beyond the near plane at every timestamp, and
+    timestamps must span [0, 1] through the D-NeRF loader."""
+
+    @pytest.fixture(scope='class')
+    def dyntex(self, tmp_path_factory):
+        from nerficg_tpu.core.config import ConfigNode
+        from nerficg_tpu.core.registry import Datasets
+        from nerficg_tpu.data.synthetic import make_dynamic_textured_scene
+        root = tmp_path_factory.mktemp('dyntex') / 'scene'
+        root.mkdir()
+        make_dynamic_textured_scene(root, image_size=32, n_train=8, n_test=2)
+        cfg = ConfigNode({'GLOBAL': {'METHOD_TYPE': 'DNeRF',
+                                     'DATASET_TYPE': 'DNeRF',
+                                     'RANDOM_SEED': 0},
+                          'DATASET': {'PATH': str(root)},
+                          'MODEL': {}, 'RENDERER': {}, 'TRAINING': {}})
+        return Datasets.get_dataset(cfg)
+
+    def test_timestamps_span(self, dyntex):
+        dyntex.train()
+        ts = [float(v.timestamp) for v in dyntex.views]
+        assert min(ts) == 0.0 and max(ts) == 1.0
+        assert len(set(ts)) == len(ts)
+
+    def test_moving_surface_beyond_near_plane(self, dyntex):
+        import math
+        near = float(dyntex.camera_settings.near)
+        for split in ('train', 'test'):
+            getattr(dyntex, split)()
+            for view in dyntex.views:
+                t_time = float(view.timestamp)
+                # Generator frame center; the loader rotates the world, so
+                # rotate the center the same way before intersecting.
+                from nerficg_tpu.data.loaders.nerf import (
+                    BLENDER_TO_COLMAP_WORLD)
+                c_gen = np.array(
+                    [0.35 * math.sin(2 * math.pi * t_time), 0.0, 0.0])
+                c = BLENDER_TO_COLMAP_WORLD[:3, :3] @ c_gen
+                rays = view.get_rays(with_images=True)
+                o = np.asarray(rays.origins).reshape(-1, 3) - c
+                d = np.asarray(rays.directions).reshape(-1, 3)
+                b = (d * o).sum(-1)
+                disc = b * b - ((o * o).sum(-1) - 0.8 ** 2)
+                t = -b - np.sqrt(np.maximum(disc, 0.0))
+                hit = (disc > 0) & (t > 0)
+                assert hit.any()
+                assert float(t[hit].min()) > near + 0.05
