@@ -20,6 +20,10 @@ run() { # run <outfile> <cmd...>
 # --- 1. GS train step with the round-5 kernel work (tacc bwd + FIR SSIM) ---
 run $R/gs_train_profile.json python tools/profile_gs.py --which train
 
+# --- 1b. GS inference stage profile (the channel-major stream regressed
+# 63.7 -> 56.5 FPS at 100k: find which stage absorbs the CH-aligned waste)
+run $R/gs_infer_profile.json python tools/profile_gs.py --which infer
+
 # --- 2. GS chunk-size A/B (NERFICG_GS_CH; stream bwd needs k % CH == 0) ---
 for C in 64 128 256; do
   if ! have $R/gs_train_ch$C.json; then
