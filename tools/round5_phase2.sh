@@ -24,6 +24,10 @@ run $R/gs_train_profile.json python tools/profile_gs.py --which train
 # 63.7 -> 56.5 FPS at 100k: find which stage absorbs the CH-aligned waste)
 run $R/gs_infer_profile.json python tools/profile_gs.py --which infer
 
+# --- 1c. GS inference stage profile at 1M (where does 112.8 ms go?) ---
+run $R/gs_infer_profile_1m.json python tools/profile_gs.py --which infer \
+    --num 1000000
+
 # --- 2. GS chunk-size A/B (NERFICG_GS_CH; stream bwd needs k % CH == 0) ---
 for C in 64 128 256; do
   if ! have $R/gs_train_ch$C.json; then
