@@ -82,16 +82,23 @@ def _mlp_featT(ws, x_t, compute_dtype=jnp.bfloat16):
     # the lane crossbar has no fast TPU primitive (PERF_NOTES.md), so larger
     # tables pay linearly in the S-loop/one-hot row count.
     LOG2_HASHMAP_SIZE=14,
+    # 'window' = gen-3 windowed sorted-stream encode (ops/hash_window.py):
+    #   vertex-SHARED corner features, tcnn's parameterization. DEFAULT by
+    #   the round-5 capacity-quality A/B (PERF_NOTES round-5): at equal
+    #   entry count each shared vertex serves 8 cells, so window measures
+    #   14.91 dB vs cell's 11.34 at 2^14 on the textured probe (+3.6 dB
+    #   for ~+45% step time). Scan cost grows ~sqrt-ish with capacity —
+    #   beyond ~2^16 switch to 'cell'.
     # 'cell'   = gen-4 cell-packed windowed encode (ops/hash_cell.py): one
     #   hash/window address per sample, all 8 corners latched from one
     #   (8, 128) row block, EXACT 8-corner interpolation always, and scan
-    #   cost flat in table capacity up to the reference's 2^19;
-    # 'window' = gen-3 windowed sorted-stream encode (ops/hash_window.py;
-    #   vertex-shared corners — use for parity checks against tcnn's
-    #   parameterization; scan cost grows ~sqrt-ish with capacity);
+    #   cost flat in table capacity up to the reference's 2^19 — the
+    #   THROUGHPUT backend (bench.py headline) and the parity-config
+    #   choice at 2^19, where it matches window's quality (14.79 vs
+    #   14.93 dB) at ~2.7x less step time.
     # 'xbar' = gen-2 full-scan crossbar encode (ops/hash_xbar.py; required
     #   for NEEDS_POS_GRAD methods until the windowed posgrad kernel lands).
-    ENCODING_BACKEND='cell',
+    ENCODING_BACKEND='window',
     # Training-time stochastic trilinear interpolation: number of corners
     # evaluated per (sample, level) — 1, 2, or 4 (unbiased estimators with
     # decreasing variance, see ops/hash_xbar.py), or 0 for the exact

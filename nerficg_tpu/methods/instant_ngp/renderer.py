@@ -39,13 +39,18 @@ __all__ = ['InstantNGPRenderer']
 
 @Configurable.configure(
     MAX_SAMPLES=512,            # marching steps per ray (reference: 1024)
-    MARCH_RESOLUTION=64,        # skip-grid probed by the marcher (reference
-                                # density grid: 128^3, Model.py:16). With
-                                # PROBE_MODE='dense' the crossbar word scan
-                                # is linear in bitfield extent (128^3 was a
-                                # measured NET -37%, PERF_NOTES round 3);
-                                # 'block' probes are sub-linear and make
-                                # 128^3 affordable.
+    MARCH_RESOLUTION=128,       # skip-grid probed by the marcher (reference
+                                # density grid: 128^3, Model.py:16).
+                                # DEFAULT by the round-5 march A/B
+                                # (PERF_NOTES round-5): 128^3 @ 24 spr
+                                # measures +0.92 dB over 64^3 @ 32 spr at
+                                # the same total sample budget, for ~+33%
+                                # step time (13.8 vs 10.4 ms at the 262k
+                                # operating point). Set 64 (+32 spr) for
+                                # the throughput point bench.py pins. The
+                                # two-level 'block' probe is what makes
+                                # 128^3 affordable at all (dense scan was
+                                # a measured NET -37%, PERF_NOTES round 3).
     PROBE_MODE='block',         # 'block': two-level rank-compacted bitfield
                                 # (ops/xbar_gather.py build_block_bitfield),
                                 # probe cost ~ occupied volume (capped).
@@ -53,7 +58,11 @@ __all__ = ['InstantNGPRenderer']
     PROBE_CAP_BLOCKS=0,         # 'block' capacity in 8^3-cell blocks; 0 =
                                 # auto (total_blocks/4, min 256). Overflow
                                 # blocks conservatively probe as occupied.
-    AVG_SAMPLES_PER_RAY=32,     # training compaction budget = rays * this
+    AVG_SAMPLES_PER_RAY=24,     # training compaction budget = rays * this
+                                # (24 pairs with the 128^3 default: the
+                                # finer grid halves the occupied band, so
+                                # the budget drops at BETTER quality —
+                                # round-5 march A/B)
     INFERENCE_SAMPLES_PER_RAY=128,  # larger budget for full-image rendering
     MARCH_BLOCK=8,              # compaction granularity (steps per block):
                                 # small blocks waste less budget on the thin

@@ -54,10 +54,14 @@ def make_synthetic_trainer(model_overrides=None, renderer_overrides=None,
     from nerficg_tpu.core.registry import Methods
     Logger.set_level('SILENT')
 
+    # Pinned to the throughput operating point (64^3 march, matching
+    # bench.py's headline) so profiler numbers stay comparable across
+    # library-default changes; overrides replace any of it.
     config = ConfigNode({
         'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'RANDOM_SEED': 0},
         'MODEL': dict(model_overrides or {}),
         'RENDERER': {'MAX_SAMPLES': 512, 'AVG_SAMPLES_PER_RAY': 32,
+                     'MARCH_RESOLUTION': 64,
                      **(renderer_overrides or {})},
         'TRAINING': {'INITIAL_RAYS_PER_BATCH': int(n_rays),
                      'TARGET_BATCH_SIZE': int(batch),

@@ -57,10 +57,14 @@ def main():
     from nerficg_tpu.core.registry import Methods
     Logger.set_level('SILENT')
 
+    # Pinned to the throughput operating point (matches bench.py's
+    # headline) so profiles stay comparable across default changes;
+    # --set overrides any of it.
     raw = {
         'GLOBAL': {'METHOD_TYPE': 'InstantNGP', 'RANDOM_SEED': 0},
-        'MODEL': {},
-        'RENDERER': {'MAX_SAMPLES': 512, 'AVG_SAMPLES_PER_RAY': 32},
+        'MODEL': {'ENCODING_BACKEND': 'cell', 'LOG2_HASHMAP_SIZE': 14},
+        'RENDERER': {'MAX_SAMPLES': 512, 'AVG_SAMPLES_PER_RAY': 32,
+                     'MARCH_RESOLUTION': 64},
         'TRAINING': {'INITIAL_RAYS_PER_BATCH': 8192,
                      'TARGET_BATCH_SIZE': 262144,
                      'RANDOM_BACKGROUND': True},
